@@ -1,0 +1,211 @@
+"""Branch-free decomposition of doubles (and exact double products) into
+base-2^20 limb deposits.
+
+This replaces the reference's ``Superaccumulator::Accumulate(double)`` mantissa
+slicing (reference superaccumulator.hpp:173-194: ``exponent(x)/52`` indexing +
+rint-and-rescale) and its FMA ``TwoProductFMA`` (reference ExDOT.FPE.cl:25-28)
+with pure int32 bit arithmetic:
+
+* a double contributes ``mant53 << r`` at limb index ``q`` where the bit
+  position of its significand LSB is ``p = E + offset_bits``, ``q = p // 20``,
+  ``r = p % 20`` -- four 20-bit pieces;
+* an exact 106-bit product ``mant_a * mant_b`` is formed from 14-bit mantissa
+  pieces (16 int32 multiplies, grouped into 7 "shift classes" of < 2^30 each,
+  exactly like a schoolbook multiply) and deposited class by class.
+
+Everything here is shape-polymorphic jnp code on int32/uint32, valid both at
+the XLA level and inside Pallas TPU kernels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .ieee import decode_fields
+from .types import F64_EXP_SPECIAL, LIMB_BITS, LIMB_MASK
+
+_U = jnp.uint32
+_I = jnp.int32
+
+
+def _u(x):
+    return x.astype(jnp.uint32)
+
+
+def _i(x):
+    return x.astype(jnp.int32)
+
+
+def extract_bits20(mant_lo32, mant_hi21, s):
+    """Bits [s, s+20) of the value ``mant_hi21*2^32 + mant_lo32`` (a <=53-bit
+    unsigned integer), for per-lane shift ``s`` (int32) in [-19, 72].
+
+    Negative ``s`` means the value is conceptually shifted left by ``-s``.
+    Returns uint32 in [0, 2^20).
+    """
+    mlo = _u(mant_lo32)
+    mhi = _u(mant_hi21)
+    s = _i(s)
+
+    # s < 0: low 20 bits of (value << -s); only mlo's low bits matter.
+    k = _u(jnp.clip(-s, 0, 31))
+    neg = (mlo << k) & _U(LIMB_MASK)
+
+    # 0 <= s < 32: (mlo >> s) | (mhi << (32 - s)), the latter 0 when s == 0.
+    s_lo = _u(jnp.clip(s, 0, 31))
+    from_lo = mlo >> s_lo
+    up_sh = _u(jnp.clip(32 - s, 0, 31))
+    from_hi_low = jnp.where(s > 0, mhi << up_sh, _U(0))
+    low = (from_lo | from_hi_low) & _U(LIMB_MASK)
+
+    # s >= 32: mhi >> (s - 32).
+    s_hi = _u(jnp.clip(s - 32, 0, 31))
+    high = (mhi >> s_hi) & _U(LIMB_MASK)
+    high = jnp.where(s >= 53 + 19, _U(0), high)
+
+    out = jnp.where(s < 0, neg, jnp.where(s < 32, low, high))
+    return out
+
+
+def split_value30(c, r):
+    """Split ``c * 2^r`` (c uint32 < 2^30, 0 <= r < 20) into three limb pieces.
+
+    Returns (p0, p1, p2) uint32, each < 2^20, at limb offsets 0, 1, 2.
+    """
+    c = _u(c)
+    r = _u(r)
+    lo20 = c & _U(LIMB_MASK)
+    hi = c >> _U(LIMB_BITS)  # < 2^10 when c < 2^30
+    p0 = (lo20 << r) & _U(LIMB_MASK)
+    # lo20 >> (20 - r) is safe: 1 <= 20 - r <= 20 < 32; when r == 0 it is
+    # lo20 >> 20 == 0 as required.
+    t = (lo20 >> (_U(LIMB_BITS) - r)) + (hi << r)
+    p1 = t & _U(LIMB_MASK)
+    p2 = t >> _U(LIMB_BITS)
+    return p0, p1, p2
+
+
+def classify(expfield, mant_hi21, mant_lo32):
+    """(is_zero, is_inf, is_nan) for decoded fields."""
+    frac_nonzero = jnp.logical_or(
+        mant_lo32 != 0, (mant_hi21 & _U(0xFFFFF)) != 0
+    )
+    is_special = expfield == F64_EXP_SPECIAL
+    is_nan = jnp.logical_and(is_special, frac_nonzero)
+    is_inf = jnp.logical_and(is_special, jnp.logical_not(frac_nonzero))
+    is_zero = jnp.logical_and(
+        expfield == 0, jnp.logical_and(mant_lo32 == 0, mant_hi21 == 0)
+    )
+    return is_zero, is_inf, is_nan
+
+
+def sum_terms(hi, lo, offset_bits):
+    """Decompose doubles into limb deposits for a sum accumulator.
+
+    Returns a dict with (all shaped like ``hi``):
+      q       int32  -- base limb index (garbage 0 for invalid terms)
+      pieces  tuple of 4 int32 -- signed 20-bit deposits for limbs q..q+3
+      nan/pinf/ninf  int32 0/1 -- special counters
+    """
+    sign, expfield, mant_hi21, mant_lo32 = decode_fields(hi, lo)
+    is_zero, is_inf, is_nan = classify(expfield, mant_hi21, mant_lo32)
+    valid = jnp.logical_not(
+        jnp.logical_or(expfield == F64_EXP_SPECIAL, is_zero)
+    )
+
+    # Significand LSB exponent E = max(expfield,1) - 1075; bit position
+    # p = E + offset_bits >= 0 by construction of the accumulator format.
+    e = jnp.maximum(expfield, 1) - _I(1075)
+    p = e + _I(offset_bits)
+    q = p // _I(LIMB_BITS)
+    r = p - q * _I(LIMB_BITS)
+
+    s = jnp.where(sign == 1, _I(-1), _I(1))
+    s = jnp.where(valid, s, _I(0))
+    pieces = tuple(
+        _i(extract_bits20(mant_lo32, mant_hi21, _I(LIMB_BITS) * t - r)) * s
+        for t in range(4)
+    )
+    q = jnp.where(valid, q, _I(0))
+
+    nan = _i(is_nan)
+    pinf = _i(jnp.logical_and(is_inf, sign == 0))
+    ninf = _i(jnp.logical_and(is_inf, sign == 1))
+    return dict(q=q, pieces=pieces, valid=valid, nan=nan, pinf=pinf, ninf=ninf)
+
+
+def mant_pieces14(mant_hi21, mant_lo32):
+    """Split a 53-bit significand into four 14-bit pieces (LSB first)."""
+    mlo = _u(mant_lo32)
+    mhi = _u(mant_hi21)
+    p0 = mlo & _U(0x3FFF)
+    p1 = (mlo >> 14) & _U(0x3FFF)
+    p2 = ((mlo >> 28) | (mhi << 4)) & _U(0x3FFF)
+    p3 = (mhi >> 10) & _U(0x3FFF)
+    return p0, p1, p2, p3
+
+
+def product_terms(hi_a, lo_a, hi_b, lo_b, offset_bits):
+    """Decompose exact products a[i]*b[i] into limb deposits.
+
+    The 106-bit product mant_a*mant_b is computed exactly as 7 shift classes
+    ``S_k = sum_{i+j=k} A_i*B_j < 2^30`` at bit offsets 14k.  Each class is
+    deposited independently; with a dot-format accumulator (offset 2148) even
+    products that would underflow double precision are kept exactly.
+
+    Returns a dict with:
+      q        int32 -- base limb index of the product LSB
+      r        int32 -- bit offset within limb q
+      classes  tuple of 7 int32 (unsigned magnitude < 2^30)
+      s        int32 -- overall sign (+1/-1/0-if-invalid)
+      nan/pinf/ninf counters (0*Inf -> NaN, Inf*finite -> Inf, NaN -> NaN)
+    """
+    sign_a, exp_a, mhi_a, mlo_a = decode_fields(hi_a, lo_a)
+    sign_b, exp_b, mhi_b, mlo_b = decode_fields(hi_b, lo_b)
+    zero_a, inf_a, nan_a = classify(exp_a, mhi_a, mlo_a)
+    zero_b, inf_b, nan_b = classify(exp_b, mhi_b, mlo_b)
+
+    sign = jnp.bitwise_xor(sign_a, sign_b)
+    any_nan = jnp.logical_or(nan_a, nan_b)
+    inf_times_zero = jnp.logical_or(
+        jnp.logical_and(inf_a, zero_b), jnp.logical_and(inf_b, zero_a)
+    )
+    is_nan = jnp.logical_or(any_nan, inf_times_zero)
+    is_inf = jnp.logical_and(
+        jnp.logical_or(inf_a, inf_b), jnp.logical_not(is_nan)
+    )
+    special = jnp.logical_or(exp_a == F64_EXP_SPECIAL, exp_b == F64_EXP_SPECIAL)
+    valid = jnp.logical_not(
+        jnp.logical_or(special, jnp.logical_or(zero_a, zero_b))
+    )
+
+    e_a = jnp.maximum(exp_a, 1) - _I(1075)
+    e_b = jnp.maximum(exp_b, 1) - _I(1075)
+    p = e_a + e_b + _I(offset_bits)  # >= 0 for dot format
+    q = p // _I(LIMB_BITS)
+    r = p - q * _I(LIMB_BITS)
+
+    a = mant_pieces14(mhi_a, mlo_a)
+    b = mant_pieces14(mhi_b, mlo_b)
+    classes = []
+    for k in range(7):
+        acc = None
+        for i in range(4):
+            j = k - i
+            if 0 <= j < 4:
+                term = _i(a[i]) * _i(b[j])  # < 2^28
+                acc = term if acc is None else acc + term
+        classes.append(acc)  # < 2^30
+
+    s = jnp.where(sign == 1, _I(-1), _I(1))
+    s = jnp.where(valid, s, _I(0))
+    q = jnp.where(valid, q, _I(0))
+    r = jnp.where(valid, r, _I(0))
+
+    nan = _i(is_nan)
+    pinf = _i(jnp.logical_and(is_inf, sign == 0))
+    ninf = _i(jnp.logical_and(is_inf, sign == 1))
+    return dict(
+        q=q, r=r, classes=tuple(classes), s=s, valid=valid,
+        nan=nan, pinf=pinf, ninf=ninf,
+    )

@@ -1,0 +1,18 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+multi-chip sharding (mesh-shape invariance) is exercised without TPU hardware,
+mirroring the reference's `mpirun -np 2`-on-one-host strategy
+(reference src/cpu/blas/blas1/CMakeLists.txt:19-26).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
