@@ -18,9 +18,21 @@ int64 is required at the XLA level (epilogues), hence x64 mode is enabled at
 import.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Remote-TPU compiles are expensive (minutes); persist them across processes.
+_cache_dir = _os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/jax_exblas")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax without these options
+    pass
 
 from . import core  # noqa: E402
 from .ops import (  # noqa: E402

@@ -36,6 +36,12 @@ def _i(x):
     return x.astype(jnp.int32)
 
 
+def _clip_i32(x, lo: int, hi: int):
+    """Clamp int32 (Mosaic-safe: jnp.clip/minimum on uint32 or with Python
+    bounds mis-lowers on TPU -- int32 min/max with typed literals only)."""
+    return jnp.minimum(jnp.maximum(x, _I(lo)), _I(hi))
+
+
 def extract_bits20(mant_lo32, mant_hi21, s):
     """Bits [s, s+20) of the value ``mant_hi21*2^32 + mant_lo32`` (a <=53-bit
     unsigned integer), for per-lane shift ``s`` (int32) in [-19, 72].
@@ -48,18 +54,18 @@ def extract_bits20(mant_lo32, mant_hi21, s):
     s = _i(s)
 
     # s < 0: low 20 bits of (value << -s); only mlo's low bits matter.
-    k = _u(jnp.clip(-s, 0, 31))
+    k = _u(_clip_i32(-s, 0, 31))
     neg = (mlo << k) & _U(LIMB_MASK)
 
     # 0 <= s < 32: (mlo >> s) | (mhi << (32 - s)), the latter 0 when s == 0.
-    s_lo = _u(jnp.clip(s, 0, 31))
+    s_lo = _u(_clip_i32(s, 0, 31))
     from_lo = mlo >> s_lo
-    up_sh = _u(jnp.clip(32 - s, 0, 31))
+    up_sh = _u(_clip_i32(32 - s, 0, 31))
     from_hi_low = jnp.where(s > 0, mhi << up_sh, _U(0))
     low = (from_lo | from_hi_low) & _U(LIMB_MASK)
 
     # s >= 32: mhi >> (s - 32).
-    s_hi = _u(jnp.clip(s - 32, 0, 31))
+    s_hi = _u(_clip_i32(s - 32, 0, 31))
     high = (mhi >> s_hi) & _U(LIMB_MASK)
     high = jnp.where(s >= 53 + 19, _U(0), high)
 
@@ -128,9 +134,10 @@ def sum_terms(hi, lo, offset_bits):
     )
     q = jnp.where(valid, q, _I(0))
 
-    nan = _i(is_nan)
-    pinf = _i(jnp.logical_and(is_inf, sign == 0))
-    ninf = _i(jnp.logical_and(is_inf, sign == 1))
+    one, zero = _I(1), _I(0)
+    nan = jnp.where(is_nan, one, zero)
+    pinf = jnp.where(jnp.logical_and(is_inf, sign == 0), one, zero)
+    ninf = jnp.where(jnp.logical_and(is_inf, sign == 1), one, zero)
     return dict(q=q, pieces=pieces, valid=valid, nan=nan, pinf=pinf, ninf=ninf)
 
 
@@ -202,9 +209,10 @@ def product_terms(hi_a, lo_a, hi_b, lo_b, offset_bits):
     q = jnp.where(valid, q, _I(0))
     r = jnp.where(valid, r, _I(0))
 
-    nan = _i(is_nan)
-    pinf = _i(jnp.logical_and(is_inf, sign == 0))
-    ninf = _i(jnp.logical_and(is_inf, sign == 1))
+    one, zero = _I(1), _I(0)
+    nan = jnp.where(is_nan, one, zero)
+    pinf = jnp.where(jnp.logical_and(is_inf, sign == 0), one, zero)
+    ninf = jnp.where(jnp.logical_and(is_inf, sign == 1), one, zero)
     return dict(
         q=q, r=r, classes=tuple(classes), s=s, valid=valid,
         nan=nan, pinf=pinf, ninf=ninf,

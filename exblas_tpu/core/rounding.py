@@ -75,69 +75,121 @@ def _msb_index20(d):
     )
 
 
-def ieee_encode_round(sign, e_msb, m55, sticky_below):
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _u32(x):
+    return x.astype(_U32)
+
+
+def _clip32(x, lo, hi):
+    return jnp.minimum(jnp.maximum(x.astype(_I32), _I32(lo)), _I32(hi))
+
+
+def _pair_shr(mh, ml, c):
+    """(mh:ml) >> c for a 55-bit value in u32 words, c int32 in [0, 63].
+
+    Returns (oh, ol).  All variable shifts are on uint32 (variable uint64
+    shifts compile catastrophically under TPU int64 emulation).
+    """
+    c_lo = _u32(_clip32(c, 0, 31))
+    up = _u32(_clip32(32 - c, 0, 31))
+    ol_small = (ml >> c_lo) | jnp.where(c > 0, mh << up, _U32(0))
+    oh_small = mh >> c_lo
+    c_hi = _u32(_clip32(c - 32, 0, 31))
+    ol_big = mh >> c_hi
+    big = c >= 32
+    ol = jnp.where(big, ol_big, ol_small)
+    oh = jnp.where(big, _U32(0), oh_small)
+    return oh, ol
+
+
+def _pair_bit(mh, ml, k):
+    """Bit k of (mh:ml), k int32 in [0, 54]."""
+    lo_bit = (ml >> _u32(_clip32(k, 0, 31))) & _U32(1)
+    hi_bit = (mh >> _u32(_clip32(k - 32, 0, 31))) & _U32(1)
+    return jnp.where(k < 32, lo_bit, hi_bit)
+
+
+def _pair_low_mask_nonzero(mh, ml, k):
+    """Any of bits [0, k) of (mh:ml) set?  k int32 in [0, 55]."""
+    k_lo = _clip32(k, 0, 32)
+    # mask of min(k,32) low bits of ml, computed without shift-by-32
+    ml_masked = jnp.where(
+        k_lo >= 32, ml, ml & ((_U32(1) << _u32(_clip32(k_lo, 0, 31))) - _U32(1))
+    )
+    k_hi = _clip32(k - 32, 0, 23)
+    mh_masked = mh & ((_U32(1) << _u32(k_hi)) - _U32(1))
+    return jnp.logical_or(ml_masked != 0, mh_masked != 0)
+
+
+def ieee_encode_round(sign, e_msb, m55_hi, m55_lo, sticky_below):
     """Encode and round a positive value ``m55 * 2^(e_msb - 54)`` (+ sticky
     tail strictly below) to binary64 bits, round-to-nearest-even.
 
-    sign: int64 0/1.  e_msb: int64, unbiased exponent of the leading bit
-    (bit 54 of m55 is set).  m55: uint64 with exactly 55 significant bits.
-    sticky_below: bool.
+    sign: int32 0/1.  e_msb: int32, unbiased exponent of the leading bit
+    (bit 54 of m55 is set).  m55 is a 55-bit value in two uint32 words
+    (m55_hi = bits 32..54, m55_lo = bits 0..31).  sticky_below: bool.
 
-    Returns uint64 IEEE bits.  Handles overflow (-> Inf) and subnormals.
+    Returns uint64 IEEE bits (the only u64 ops are constant-shift packs).
+    Handles overflow (-> Inf) and subnormals.
     """
-    m55 = m55.astype(_U64)
-    e = e_msb.astype(_I64)
+    mh = _u32(m55_hi)
+    ml = _u32(m55_lo)
+    e = e_msb.astype(_I32)
+    sign = sign.astype(_U32)
     sticky_below = sticky_below.astype(jnp.bool_)
 
-    # ----- normal path: mantissa = top 53 bits, guard = bit 1, rest sticky.
-    m53_n = m55 >> _U64(2)
-    guard_n = (m55 >> _U64(1)) & _U64(1)
-    sticky_n = jnp.logical_or(sticky_below, (m55 & _U64(1)) != 0)
+    # Shift distance: 2 for normals; 2 + (-1022 - e) for subnormals.
+    subn = e < _I32(-1022)
+    d = jnp.where(subn, _I32(-1022) - e, _I32(0))
+    c = _clip32(d + 2, 2, 63)
 
-    # ----- subnormal path: shift right by c = 2 + (-1022 - e), collect sticky.
-    d = (_I64(-1022) - e).astype(_I64)
-    c = jnp.clip(d + 2, 2, 63).astype(_U64)
-    m53_s = m55 >> c
-    guard_s = (m55 >> (c - _U64(1))) & _U64(1)
-    dropped_mask = (_U64(1) << (c - _U64(1))) - _U64(1)
-    sticky_s = jnp.logical_or(sticky_below, (m55 & dropped_mask) != 0)
+    m53h, m53l = _pair_shr(mh, ml, c)       # candidate 53-bit mantissa
+    guard = _pair_bit(mh, ml, c - _I32(1))
+    sticky = jnp.logical_or(
+        sticky_below, _pair_low_mask_nonzero(mh, ml, c - _I32(1))
+    )
     # Deep underflow: everything dropped.
-    deep = d >= _I64(62)
-    m53_s = jnp.where(deep, _U64(0), m53_s)
-    guard_s = jnp.where(deep, _U64(0), guard_s)
-    sticky_s = jnp.logical_or(sticky_s, deep)
-
-    subn = e < _I64(-1022)
-    m53 = jnp.where(subn, m53_s, m53_n)
-    guard = jnp.where(subn, guard_s, guard_n)
-    sticky = jnp.where(subn, sticky_s, sticky_n)
+    deep = d >= _I32(60)
+    m53h = jnp.where(deep, _U32(0), m53h)
+    m53l = jnp.where(deep, _U32(0), m53l)
+    guard = jnp.where(deep, _U32(0), guard)
+    sticky = jnp.logical_or(sticky, deep)
 
     round_up = jnp.logical_and(
-        guard != 0, jnp.logical_or(sticky, (m53 & _U64(1)) != 0)
+        guard != 0, jnp.logical_or(sticky, (m53l & _U32(1)) != 0)
     )
-    m = m53 + round_up.astype(_U64)
+    ru = jnp.where(round_up, _U32(1), _U32(0))
+    ml2 = m53l + ru
+    carry = jnp.where(
+        jnp.logical_and(ru != 0, ml2 == 0), _U32(1), _U32(0)
+    )
+    mh2 = m53h + carry
 
     # Mantissa overflow on round-up (normal path): 2^53 -> 2^52, e += 1.
-    overflowed = jnp.logical_and(jnp.logical_not(subn), m == _U64(1) << _U64(53))
-    m = jnp.where(overflowed, _U64(1) << _U64(52), m)
-    e = e + overflowed.astype(_I64)
-
-    # Subnormal that rounded up to 2^52 encodes naturally as the smallest
-    # normal: expfield = m >> 52 (0 or 1), frac = m & (2^52-1).
-    frac = m & ((_U64(1) << _U64(52)) - _U64(1))
-    expf_n = (e + _I64(1023)).astype(_I64)
-    expf = jnp.where(subn, (m >> _U64(52)).astype(_I64), expf_n)
-
-    bits = (
-        (sign.astype(_U64) << _U64(63))
-        | (expf.astype(_U64) << _U64(52))
-        | frac
+    overflowed = jnp.logical_and(
+        jnp.logical_not(subn),
+        jnp.logical_and(mh2 == _U32(1 << 21), ml2 == 0),
     )
+    mh2 = jnp.where(overflowed, _U32(1 << 20), mh2)
+    e = e + jnp.where(overflowed, _I32(1), _I32(0))
+
+    # Encode: frac = m & (2^52 - 1); subnormal expfield = bit 52 of m (a
+    # subnormal that rounded up to 2^52 becomes the smallest normal).
+    frac_hi = mh2 & _U32(0xFFFFF)
+    expf_n = e + _I32(1023)
+    expf = jnp.where(subn, ((mh2 >> _U32(20)) & _U32(1)).astype(_I32), expf_n)
+
+    hi32 = (sign << _U32(31)) | (_u32(expf) << _U32(20)) | frac_hi
+    lo32 = ml2
     # Overflow to infinity.
-    inf_bits = (sign.astype(_U64) << _U64(63)) | PINF_BITS
-    bits = jnp.where(jnp.logical_and(jnp.logical_not(subn), expf >= 2047),
-                     inf_bits, bits)
-    return bits
+    over = jnp.logical_and(jnp.logical_not(subn), expf >= 2047)
+    hi32 = jnp.where(over, (sign << _U32(31)) | _U32(0x7FF00000), hi32)
+    lo32 = jnp.where(over, _U32(0), lo32)
+
+    return (hi32.astype(_U64) << _U64(32)) | lo32.astype(_U64)
 
 
 def round_digits_to_f64_bits(digits, negative, fmt: AccFormat):
@@ -158,38 +210,46 @@ def round_digits_to_f64_bits(digits, negative, fmt: AccFormat):
     p_msb = jstar * _I64(LIMB_BITS) + msb  # bit position of the leading bit
 
     # Assemble the 55-bit leading window: bits [p_msb - 54, p_msb], zero-padded
-    # below bit 0 of the accumulator.
+    # below bit 0 of the accumulator.  All variable shifts are on uint32
+    # (variable uint64 shifts compile catastrophically under int64 emulation).
     pos_low = p_msb - _I64(54)
     j0 = pos_low // _I64(LIMB_BITS)  # floor division (may be negative)
-    shift = (pos_low - j0 * _I64(LIMB_BITS)).astype(_U64)  # in [0, 20)
+    shift = (pos_low - j0 * _I64(LIMB_BITS)).astype(_I32)  # in [0, 20)
 
     def digit_at(t):
         idx = j0 + _I64(t)
         valid = jnp.logical_and(idx >= 0, idx < n_limbs)
         safe = jnp.clip(idx, 0, n_limbs - 1)
         v = jnp.take_along_axis(mag, safe[..., None], axis=-1)[..., 0]
-        return jnp.where(valid, v, _I64(0)).astype(_U64)
+        return jnp.where(valid, v, _I64(0)).astype(_U32)
 
     d0, d1, d2, d3, d4 = (digit_at(t) for t in range(5))
-    wlo = d0 | (d1 << _U64(20)) | (d2 << _U64(40))  # 60 bits
-    whi = d3 | (d4 << _U64(20))
-    m_all = (wlo >> shift) | (whi << (_U64(60) - shift))
-    m55 = m_all & ((_U64(1) << _U64(55)) - _U64(1))
+    # 100-bit window in three u32 words (wrapping shifts keep the low bits).
+    w0 = d0 | (d1 << _U32(20))
+    w1 = (d1 >> _U32(12)) | (d2 << _U32(8)) | (d3 << _U32(28))
+    w2 = (d3 >> _U32(4)) | (d4 << _U32(16))
+    sh = _u32(shift)
+    up = _u32(_clip32(32 - shift, 0, 31))
+    hi_or = lambda a, b: jnp.where(shift > 0, a << up, _U32(0)) | b  # noqa: E731
+    ol = hi_or(w1, w0 >> sh)
+    oh = hi_or(w2, w1 >> sh)
+    m55_lo = ol
+    m55_hi = oh & _U32(0x7FFFFF)
 
     # Sticky: any bit strictly below pos_low.
     idxs = jnp.arange(n_limbs, dtype=_I64)
     below = idxs < j0[..., None]
     sticky = jnp.any(jnp.logical_and(below, nonzero), axis=-1)
     part = jnp.take_along_axis(mag, jnp.clip(j0, 0, n_limbs - 1)[..., None],
-                               axis=-1)[..., 0].astype(_U64)
-    part_bits = part & ((_U64(1) << shift) - _U64(1))
+                               axis=-1)[..., 0].astype(_U32)
+    part_bits = part & ((_U32(1) << sh) - _U32(1))
     sticky = jnp.logical_or(
         sticky, jnp.logical_and(j0 >= 0, part_bits != 0)
     )
 
-    e_msb = p_msb - _I64(fmt.offset_bits)
+    e_msb = (p_msb - _I64(fmt.offset_bits)).astype(_I32)
     bits = ieee_encode_round(
-        negative.astype(_I64), e_msb, m55, sticky
+        negative.astype(_I32), e_msb, m55_hi, m55_lo, sticky
     )
     return jnp.where(any_nonzero, bits, _U64(0))
 

@@ -54,6 +54,14 @@ def _exdot_acc_jit(hi_a, lo_a, hi_b, lo_b, impl: str, rows: int) -> Superacc:
         raise ValueError(f"unknown impl {impl!r}")
 
 
+@partial(jax.jit, static_argnames=("impl", "rows"))
+def _exdot_bits_jit(hi_a, lo_a, hi_b, lo_b, impl: str, rows: int):
+    # Fused accumulate + round (eager epilogues pay per-op host round trips).
+    return round_superacc_to_f64_bits(
+        _exdot_acc_jit(hi_a, lo_a, hi_b, lo_b, impl, rows)
+    )
+
+
 def _slice(bits: F64Bits, inc: int, offset: int) -> F64Bits:
     if offset or inc != 1:
         return F64Bits(hi=bits.hi[offset::inc], lo=bits.lo[offset::inc])
@@ -73,8 +81,17 @@ def exdot_acc(a, b, inca: int = 1, offseta: int = 0, incb: int = 1,
                           _variant_rows(fpe, early_exit))
 
 
-def exdot_bits(a, b, **kw):
-    return round_superacc_to_f64_bits(exdot_acc(a, b, **kw))
+def exdot_bits(a, b, inca: int = 1, offseta: int = 0, incb: int = 1,
+               offsetb: int = 0, fpe: int = 3, early_exit: bool = False,
+               impl: str | None = None):
+    _validate_fpe(fpe)
+    ab = _slice(split_f64(a), inca, offseta)
+    bb = _slice(split_f64(b), incb, offsetb)
+    if ab.shape != bb.shape:
+        raise ValueError(f"exdot: shape mismatch {ab.shape} vs {bb.shape}")
+    impl = impl or _default_impl()
+    return _exdot_bits_jit(ab.hi, ab.lo, bb.hi, bb.lo, impl,
+                           _variant_rows(fpe, early_exit))
 
 
 def exdot(a, b, inca: int = 1, offseta: int = 0, incb: int = 1,

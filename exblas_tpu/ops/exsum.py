@@ -64,6 +64,13 @@ def _exsum_acc_jit(hi, lo, impl: str, rows: int) -> Superacc:
         raise ValueError(f"unknown impl {impl!r}")
 
 
+@partial(jax.jit, static_argnames=("impl", "rows"))
+def _exsum_bits_jit(hi, lo, impl: str, rows: int):
+    # One fused jit for accumulate + round: eager epilogues are catastrophic
+    # on remote TPUs (each tiny op pays a full host round trip).
+    return round_superacc_to_f64_bits(_exsum_acc_jit(hi, lo, impl, rows))
+
+
 def exsum_acc(x, inca: int = 1, offset: int = 0, fpe: int = 2,
               early_exit: bool = False, impl: str | None = None) -> Superacc:
     """Exact sum into a Superacc (device-resident, mergeable, serializable)."""
@@ -76,9 +83,16 @@ def exsum_acc(x, inca: int = 1, offset: int = 0, fpe: int = 2,
                           _variant_rows(fpe, early_exit))
 
 
-def exsum_bits(x, **kw):
+def exsum_bits(x, inca: int = 1, offset: int = 0, fpe: int = 2,
+               early_exit: bool = False, impl: str | None = None):
     """Exact sum, returned as binary64 bit pattern (uint64, device)."""
-    return round_superacc_to_f64_bits(exsum_acc(x, **kw))
+    _validate_fpe(fpe)
+    bits = split_f64(x)
+    if offset or inca != 1:
+        bits = F64Bits(hi=bits.hi[offset::inca], lo=bits.lo[offset::inca])
+    impl = impl or _default_impl()
+    return _exsum_bits_jit(bits.hi, bits.lo, impl,
+                           _variant_rows(fpe, early_exit))
 
 
 def exsum(x, inca: int = 1, offset: int = 0, fpe: int = 2,

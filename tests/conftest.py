@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers a remote-TPU backend and
+# overrides JAX_PLATFORMS; pin the CPU platform explicitly after import.
+jax.config.update("jax_platforms", "cpu")
+
 import sys  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
