@@ -1,7 +1,223 @@
-"""ExGEMV: y := alpha*A*x + beta*y, reproducible (placeholder, built next)."""
+"""ExGEMV: y := alpha*A*x + beta*y with reproducible, exactly-accumulated
+row dot products.
+
+API mirrors reference include/blas2.hpp:95 ``exgemv(transa, m, n, alpha, a,
+lda, x, incx, beta, y, incy, fpe, early_exit)``.
+
+Semantics (bit-compatible with the reference kernel ExGEMV.Superacc.cl:192-293):
+* ``z_j = fl(alpha * x_j)`` -- alpha is applied as one correctly-rounded fp64
+  multiply *before* the exact accumulation (the reference uses a plain fp64
+  multiply, which is the same correctly-rounded operation);
+* each product ``a_ij * z_j`` is accumulated *exactly* (106-bit integer
+  product into the dot-format superaccumulator);
+* ``beta == 0``: no y term; ``beta == 1``: y_i deposited exactly; otherwise
+  the exact 106-bit product ``beta * y_i`` is deposited (the reference's EFT
+  handling of the three beta cases);
+* ``y_i = Round(acc_i)`` correctly rounded.
+
+``fpe``/``early_exit`` select tiling variants only; results are identical
+(fpe == 1 selects the non-reproducible fp64 control, mirroring the
+reference's DGEMV.cl baseline dispatch at ExGEMV.cpp:92-94).
+"""
 
 from __future__ import annotations
 
+from functools import partial
 
-def exgemv(*args, **kwargs):
-    raise NotImplementedError("exgemv is implemented in a later milestone")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import deposit as dep
+from ..core.f64ops import f64_mul
+from ..core.ieee import F64Bits, split_f64
+from ..core.rounding import round_digits_to_f64_bits, canonicalize_digits
+from ..core.rounding import QNAN_BITS, NINF_BITS, PINF_BITS
+from ..core.types import DOT_FORMAT, LIMB_BITS
+
+_I64 = jnp.int64
+_U64 = jnp.uint64
+
+__all__ = ["exgemv", "exgemv_bits"]
+
+
+def _scalar_bits(v: float):
+    u = np.float64(v).view(np.uint64)
+    return (jnp.uint32(int(u) >> 32), jnp.uint32(int(u) & 0xFFFFFFFF))
+
+
+def dot_rows_acc_xla(a_hi, a_lo, z_hi, z_lo):
+    """Exact per-row dot deposits at the XLA level (correctness anchor).
+
+    a: (m, n) bit pair; z: (n,) bit pair.  Returns (limbs int64 (m, L),
+    special int32 (m, 3)).
+    """
+    m, n = a_hi.shape
+    L = DOT_FORMAT.n_limbs
+    t = dep.product_terms(
+        a_hi, a_lo, z_hi[None, :], z_lo[None, :], DOT_FORMAT.offset_bits
+    )
+    q, r, s = t["q"], t["r"], t["s"].astype(_I64)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    limbs = jnp.zeros((m * L,), _I64)
+    for k, cls in enumerate(t["classes"]):
+        pbit = r + 14 * k
+        dq = pbit // LIMB_BITS
+        rr = pbit - dq * LIMB_BITS
+        p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
+        for off, piece in enumerate((p0, p1, p2)):
+            seg = row_ids * L + q + dq + off
+            limbs = limbs + jax.ops.segment_sum(
+                piece.astype(_I64).reshape(-1) * s.reshape(-1),
+                seg.reshape(-1), num_segments=m * L,
+            )
+    special = jnp.stack(
+        [jnp.sum(t["nan"], axis=1), jnp.sum(t["pinf"], axis=1),
+         jnp.sum(t["ninf"], axis=1)], axis=-1,
+    )
+    return limbs.reshape(m, L), special
+
+
+def deposit_terms_rows(limbs, special, hi, lo):
+    """Exactly deposit one double per row into (m, L) limb rows (sum terms)."""
+    m, L = limbs.shape
+    t = dep.sum_terms(hi, lo, DOT_FORMAT.offset_bits)
+    row_ids = jnp.arange(m, dtype=jnp.int32)
+    flat = limbs.reshape(-1)
+    for off, piece in enumerate(t["pieces"]):
+        seg = row_ids * L + t["q"] + off
+        flat = flat + jax.ops.segment_sum(
+            piece.astype(_I64), seg, num_segments=m * L
+        )
+    extra = jnp.stack([t["nan"], t["pinf"], t["ninf"]], axis=-1)
+    return flat.reshape(m, L), special + extra
+
+
+def round_rows(limbs, special):
+    """Batched correctly-rounded conversion of per-row accumulators."""
+    digits, negative = canonicalize_digits(limbs)
+    bits = round_digits_to_f64_bits(digits, negative, DOT_FORMAT)
+    nan_c, pos_c, neg_c = special[..., 0], special[..., 1], special[..., 2]
+    is_nan = jnp.logical_or(nan_c > 0,
+                            jnp.logical_and(pos_c > 0, neg_c > 0))
+    bits = jnp.where(neg_c > 0, NINF_BITS, bits)
+    bits = jnp.where(pos_c > 0, PINF_BITS, bits)
+    bits = jnp.where(is_nan, QNAN_BITS, bits)
+    return bits
+
+
+@partial(jax.jit, static_argnames=("impl", "beta_mode", "rows"))
+def _gemv_bits_jit(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
+                   beta_hi, beta_lo, y_hi, y_lo,
+                   impl: str, beta_mode: str, rows: int):
+    # z = fl(alpha * x)
+    z_bits = f64_mul(
+        jnp.broadcast_to(alpha_hi, x_hi.shape),
+        jnp.broadcast_to(alpha_lo, x_lo.shape), x_hi, x_lo)
+    z_hi = (z_bits >> _U64(32)).astype(jnp.uint32)
+    z_lo = (z_bits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    if impl == "pallas":
+        from .kernels.gemv_kernel import gemv_rows_acc_pallas
+
+        limbs, special = gemv_rows_acc_pallas(a_hi, a_lo, z_hi, z_lo,
+                                              k_rows=rows)
+    else:
+        limbs, special = dot_rows_acc_xla(a_hi, a_lo, z_hi, z_lo)
+
+    if beta_mode == "one":
+        limbs, special = deposit_terms_rows(limbs, special, y_hi, y_lo)
+    elif beta_mode == "general":
+        # beta*y is deposited *exactly* (106-bit product), mirroring the
+        # reference's EFT handling of the general-beta case.
+        m = y_hi.shape[0]
+        L = DOT_FORMAT.n_limbs
+        t = dep.product_terms(
+            jnp.broadcast_to(beta_hi, y_hi.shape),
+            jnp.broadcast_to(beta_lo, y_lo.shape),
+            y_hi, y_lo, DOT_FORMAT.offset_bits)
+        row_ids = jnp.arange(m, dtype=jnp.int32)
+        flat = limbs.reshape(-1)
+        q, r, s = t["q"], t["r"], t["s"].astype(_I64)
+        for k, cls in enumerate(t["classes"]):
+            pbit = r + 14 * k
+            dq = pbit // LIMB_BITS
+            rr = pbit - dq * LIMB_BITS
+            p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
+            for off, piece in enumerate((p0, p1, p2)):
+                seg = row_ids * L + q + dq + off
+                flat = flat + jax.ops.segment_sum(
+                    piece.astype(_I64) * s, seg, num_segments=m * L)
+        limbs = flat.reshape(m, L)
+        special = special + jnp.stack(
+            [t["nan"], t["pinf"], t["ninf"]], axis=-1)
+
+    return round_rows(limbs, special)
+
+
+def _validate_fpe(fpe: int):
+    if not (0 <= int(fpe) <= 8):
+        raise ValueError(f"exgemv: fpe must be in [0, 8], got {fpe}")
+
+
+def _variant_rows(fpe: int, early_exit: bool) -> int:
+    base = {0: 256, 1: 256, 2: 128, 3: 256, 4: 384, 5: 512, 6: 640,
+            7: 768, 8: 896}
+    r = base[int(fpe)]
+    return r * 2 if early_exit else r
+
+
+def exgemv_bits(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
+                fpe: int = 3, early_exit: bool = False,
+                impl: str | None = None):
+    _validate_fpe(fpe)
+    ab = split_f64(a)
+    if ab.hi.ndim != 2:
+        raise ValueError("exgemv: a must be 2-D")
+    xb = split_f64(x)
+    trans = trans.upper()
+    if trans not in ("N", "T"):
+        raise ValueError(f"exgemv: trans must be 'N' or 'T', got {trans!r}")
+    m, n = ab.hi.shape
+    if trans == "T":
+        ab = F64Bits(hi=ab.hi.T, lo=ab.lo.T)
+        m, n = n, m
+    if xb.hi.shape != (n,):
+        raise ValueError(f"exgemv: x must have shape ({n},)")
+
+    beta_mode = "zero" if beta == 0.0 else ("one" if beta == 1.0
+                                            else "general")
+    if beta_mode != "zero":
+        if y is None:
+            raise ValueError("exgemv: beta != 0 requires y")
+        yb = split_f64(y)
+        if yb.hi.shape != (m,):
+            raise ValueError(f"exgemv: y must have shape ({m},)")
+    else:
+        yb = F64Bits(hi=jnp.zeros((m,), jnp.uint32),
+                     lo=jnp.zeros((m,), jnp.uint32))
+
+    if impl is None:
+        impl = "xla"  # pallas kernel becomes the TPU default once it lands
+    ah, al = _scalar_bits(alpha)
+    bh, bl = _scalar_bits(beta)
+    return _gemv_bits_jit(ab.hi, ab.lo, xb.hi, xb.lo, ah, al, bh, bl,
+                          yb.hi, yb.lo, impl, beta_mode,
+                          _variant_rows(fpe, early_exit))
+
+
+def exgemv(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
+           fpe: int = 3, early_exit: bool = False,
+           impl: str | None = None) -> np.ndarray:
+    """Reproducible y := alpha*op(A)*x + beta*y.  Returns a new numpy array.
+
+    ``fpe == 1`` dispatches the non-reproducible fp64 control (the
+    reference's DGEMV.cl baseline path, ExGEMV.cpp:92-94).
+    """
+    if int(fpe) == 1:
+        from .. import baselines
+
+        return baselines.gemv_baseline(trans, alpha, a, x, beta=beta, y=y)
+    bits = exgemv_bits(trans, alpha, a, x, beta=beta, y=y, fpe=fpe,
+                       early_exit=early_exit, impl=impl)
+    return np.asarray(bits).view(np.float64)

@@ -1,0 +1,96 @@
+"""ExGEMM vs exact rational oracle (reference tests/test.exgemm.gpu.cpp uses
+a per-element 2098-bit MPFR dot; ours is exact rationals)."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+import exblas_tpu as xb
+
+
+def oracle_gemm(alpha, a, b, beta=1.0, c=None):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    m, k = a.shape
+    n = b.shape[1]
+    z = np.float64(alpha) * a  # fl(alpha * a)
+    out = np.empty((m, n))
+    for i in range(m):
+        for j in range(n):
+            acc = Fraction(0)
+            for kk in range(k):
+                acc += Fraction(float(z[i, kk])) * Fraction(float(b[kk, j]))
+            if c is not None:
+                if beta == 1.0:
+                    acc += Fraction(float(c[i, j]))
+                elif beta != 0.0:
+                    acc += Fraction(beta) * Fraction(float(c[i, j]))
+            out[i, j] = float(acc)
+    return out
+
+
+def assert_bits_equal(got, want, msg):
+    got, want = np.asarray(got), np.asarray(want)
+    same = got.view(np.uint64) == want.view(np.uint64)
+    assert same.all(), f"{msg}: {got[~same][:3]} vs {want[~same][:3]}"
+
+
+@pytest.mark.parametrize("m,k,n", [(5, 7, 9), (16, 32, 8)])
+def test_exgemm_vs_oracle(m, k, n):
+    a = xb.init_fpuniform_matrix(m, k, 25, 0, seed=71)
+    b = xb.init_fpuniform_matrix(k, n, 25, 0, seed=72)
+    c = xb.init_fpuniform_matrix(m, n, 25, 0, seed=73)
+    got = xb.exgemm("N", "N", 1.0, a, b, beta=1.0, c=c, impl="xla")
+    want = oracle_gemm(1.0, a, b, 1.0, c)
+    assert_bits_equal(got, want, f"{m}x{k}x{n}")
+
+
+def test_exgemm_no_c_and_transposes():
+    m, k, n = 8, 12, 10
+    a = xb.init_fpuniform_matrix(k, m, 30, 0, seed=74)  # will be 'T'
+    b = xb.init_fpuniform_matrix(n, k, 30, 0, seed=75)  # will be 'T'
+    got = xb.exgemm("T", "T", 1.0, a, b, beta=0.0, impl="xla")
+    want = oracle_gemm(1.0, a.T, b.T)
+    assert_bits_equal(got, want, "TT")
+
+
+def test_exgemm_alpha_beta():
+    m = k = n = 12
+    a = xb.init_fpuniform_matrix(m, k, 20, 0, seed=76)
+    b = xb.init_fpuniform_matrix(k, n, 20, 0, seed=77)
+    c = xb.init_fpuniform_matrix(m, n, 20, 0, seed=78)
+    got = xb.exgemm("N", "N", -2.5, a, b, beta=0.125, c=c, impl="xla")
+    want = oracle_gemm(-2.5, a, b, 0.125, c)
+    assert_bits_equal(got, want, "alphabeta")
+
+
+def test_exgemm_k_split_invariance():
+    """C = A@B must equal the exact merge of A1@B1 + A2@B2 for any k split --
+    and with beta=1 chaining, running in two exgemm calls must give the same
+    bits because each call rounds once... it does NOT (two roundings).
+    The real invariance: one call, permuted k order."""
+    m = k = n = 16
+    a = xb.init_fpuniform_matrix(m, k, 40, 0, seed=79)
+    b = xb.init_fpuniform_matrix(k, n, 40, 0, seed=80)
+    ref = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="xla")
+    perm = np.random.RandomState(81).permutation(k)
+    got = xb.exgemm("N", "N", 1.0, a[:, perm], b[perm, :], beta=0.0,
+                    impl="xla")
+    assert_bits_equal(got, ref, "ksplit")
+
+
+def test_exgemm_specials():
+    a = np.array([[np.inf, 1.0], [1.0, 2.0]])
+    b = np.array([[1.0, 0.0], [1.0, 1.0]])
+    got = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="xla")
+    assert got[0, 0] == np.inf
+    assert np.isnan(got[0, 1])  # inf * 0
+    assert got[1, 1] == 2.0
+
+
+def test_exgemm_fpe1_baseline():
+    a = xb.init_fpuniform_matrix(6, 6, 5, 0, seed=82)
+    b = xb.init_fpuniform_matrix(6, 6, 5, 0, seed=83)
+    base = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, fpe=1)
+    assert np.allclose(base, a @ b, rtol=1e-6)
