@@ -124,7 +124,7 @@ def _pair_low_mask_nonzero(mh, ml, k):
     return jnp.logical_or(ml_masked != 0, mh_masked != 0)
 
 
-def ieee_encode_round(sign, e_msb, m55_hi, m55_lo, sticky_below):
+def ieee_encode_round_pair(sign, e_msb, m55_hi, m55_lo, sticky_below):
     """Encode and round a positive value ``m55 * 2^(e_msb - 54)`` (+ sticky
     tail strictly below) to binary64 bits, round-to-nearest-even.
 
@@ -132,8 +132,8 @@ def ieee_encode_round(sign, e_msb, m55_hi, m55_lo, sticky_below):
     (bit 54 of m55 is set).  m55 is a 55-bit value in two uint32 words
     (m55_hi = bits 32..54, m55_lo = bits 0..31).  sticky_below: bool.
 
-    Returns uint64 IEEE bits (the only u64 ops are constant-shift packs).
-    Handles overflow (-> Inf) and subnormals.
+    Returns (hi32, lo32) uint32 words -- pure int32/uint32 ops, usable
+    inside Pallas kernels.  Handles overflow (-> Inf) and subnormals.
     """
     mh = _u32(m55_hi)
     ml = _u32(m55_lo)
@@ -188,7 +188,13 @@ def ieee_encode_round(sign, e_msb, m55_hi, m55_lo, sticky_below):
     over = jnp.logical_and(jnp.logical_not(subn), expf >= 2047)
     hi32 = jnp.where(over, (sign << _U32(31)) | _U32(0x7FF00000), hi32)
     lo32 = jnp.where(over, _U32(0), lo32)
+    return hi32, lo32
 
+
+def ieee_encode_round(sign, e_msb, m55_hi, m55_lo, sticky_below):
+    """As :func:`ieee_encode_round_pair` but packed to uint64 (XLA level)."""
+    hi32, lo32 = ieee_encode_round_pair(sign, e_msb, m55_hi, m55_lo,
+                                        sticky_below)
     return (hi32.astype(_U64) << _U64(32)) | lo32.astype(_U64)
 
 

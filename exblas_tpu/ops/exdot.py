@@ -32,8 +32,7 @@ def _validate_fpe(fpe: int):
 
 
 def _default_impl() -> str:
-    # Pallas kernel becomes the TPU default once dot_kernel lands.
-    return "xla"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def _variant_rows(fpe: int, early_exit: bool) -> int:

@@ -84,11 +84,14 @@ def _gemm_bits_jit(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo,
     z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
 
     if impl == "pallas":
-        from .kernels.gemm_kernel import gemm_acc_pallas
+        # The kernel deposits beta*C exactly and rounds on-device.
+        from .kernels.gemm_kernel import gemm_bits_pallas
 
-        limbs, special = gemm_acc_pallas(z_hi, z_lo, b_hi, b_lo)
-    else:
-        limbs, special = gemm_acc_xla(z_hi, z_lo, b_hi, b_lo)
+        hi, lo = gemm_bits_pallas(z_hi, z_lo, b_hi, b_lo, c_hi, c_lo,
+                                  beta_hi, beta_lo, beta_mode)
+        return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
+
+    limbs, special = gemm_acc_xla(z_hi, z_lo, b_hi, b_lo)
 
     m, n = a_hi.shape[0], b_hi.shape[1]
     if beta_mode == "one":
@@ -156,7 +159,7 @@ def exgemm_bits(transa: str, transb: str, alpha: float, a, b,
                      lo=jnp.zeros((m, n), jnp.uint32))
 
     if impl is None:
-        impl = "xla"  # pallas kernel becomes the TPU default once it lands
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     ah, al = _scalar_bits(alpha)
     bh, bl = _scalar_bits(beta)
     return _gemm_bits_jit(ab.hi, ab.lo, bb.hi, bb.lo, ah, al, bh, bl,

@@ -198,7 +198,7 @@ def exgemv_bits(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
                      lo=jnp.zeros((m,), jnp.uint32))
 
     if impl is None:
-        impl = "xla"  # pallas kernel becomes the TPU default once it lands
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     ah, al = _scalar_bits(alpha)
     bh, bl = _scalar_bits(beta)
     return _gemv_bits_jit(ab.hi, ab.lo, xb.hi, xb.lo, ah, al, bh, bl,

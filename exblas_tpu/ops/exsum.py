@@ -40,8 +40,7 @@ def _validate_fpe(fpe: int):
 
 
 def _default_impl() -> str:
-    # Pallas kernel becomes the TPU default once sum_kernel lands.
-    return "xla"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 # fpe/early_exit -> kernel tiling variant (rows per grid step).  Different
