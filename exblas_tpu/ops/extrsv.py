@@ -81,8 +81,9 @@ def _neg(hi):
     return hi ^ jnp.uint32(0x80000000)
 
 
-@partial(jax.jit, static_argnames=("unit", "block"))
-def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int):
+@partial(jax.jit, static_argnames=("unit", "block", "impl"))
+def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int,
+                    impl: str = "xla"):
     """Solve lower-triangular T x = b (row-ascending dependency order)."""
     n = b_hi.shape[0]
     nblocks = n // block
@@ -149,9 +150,17 @@ def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int):
         m = (row_iota_n >= base + block)[:, None]
         tc_hi = jnp.where(m, _neg(tc_hi), jnp.uint32(0))
         tc_lo = jnp.where(m, tc_lo, jnp.uint32(0))
-        from .exgemv import dot_rows_acc_xla
+        if impl == "pallas":
+            # the O(n*B) trailing update is a GEMV: use the Pallas kernel
+            from .kernels.gemv_kernel import gemv_rows_acc_pallas
 
-        d_limbs, d_special = dot_rows_acc_xla(tc_hi, tc_lo, xb_hi, xb_lo)
+            d_limbs, d_special = gemv_rows_acc_pallas(
+                tc_hi, tc_lo, xb_hi, xb_lo,
+                k_rows=max(8, min(block, 256)))
+        else:
+            from .exgemv import dot_rows_acc_xla
+
+            d_limbs, d_special = dot_rows_acc_xla(tc_hi, tc_lo, xb_hi, xb_lo)
         return (acc + d_limbs, special + d_special.astype(_I64),
                 x_hi, x_lo)
 
@@ -188,8 +197,10 @@ def extrsv_bits(uplo: str, trans: str, diag: str, a, b, fpe: int = 3,
         ab = F64Bits(hi=ab.hi[::-1, ::-1], lo=ab.lo[::-1, ::-1])
         bb = F64Bits(hi=bb.hi[::-1], lo=bb.lo[::-1])
 
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     bits = _trsv_lower_jit(ab.hi, ab.lo, bb.hi, bb.lo, diag == "U",
-                           _choose_block(n))
+                           _choose_block(n), impl)
     if uplo == "U":
         bits = bits[::-1]
     return bits

@@ -4,5 +4,13 @@ from .distributed import (
     make_mesh,
     psum_superacc,
 )
+from .blas2 import exgemm_sharded, exgemv_sharded
 
-__all__ = ["exdot_sharded", "exsum_sharded", "make_mesh", "psum_superacc"]
+__all__ = [
+    "exdot_sharded",
+    "exgemm_sharded",
+    "exgemv_sharded",
+    "exsum_sharded",
+    "make_mesh",
+    "psum_superacc",
+]

@@ -1,0 +1,123 @@
+"""Mesh-sharded reproducible GEMV / GEMM.
+
+Two sharding strategies, both bit-identical to the single-device result:
+
+* row sharding (the "tensor-parallel" layout): each device owns a block of
+  output rows and computes them locally -- no collectives, trivially exact;
+* k sharding (reduction-parallel): each device accumulates a slice of the
+  reduction dimension into per-row limb accumulators, which are merged with
+  an integer ``psum`` (exact and associative, so the mesh size cannot change
+  the bits) before one replicated rounding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.f64ops import f64_mul
+from ..core.ieee import split_f64
+from ..ops.exgemv import dot_rows_acc_xla, round_rows
+from .distributed import AXIS, make_mesh
+
+_U64 = jnp.uint64
+
+
+def _local_rows_acc(a_hi, a_lo, z_hi, z_lo, impl: str):
+    if impl == "pallas":
+        from ..ops.kernels.gemv_kernel import gemv_rows_acc_pallas
+
+        return gemv_rows_acc_pallas(a_hi, a_lo, z_hi, z_lo)
+    return dot_rows_acc_xla(a_hi, a_lo, z_hi, z_lo)
+
+
+def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
+                   axis: str = AXIS, shard: str = "rows",
+                   impl: str | None = None):
+    """Reproducible y = alpha*A@x over a device mesh -> f64 bits (uint64).
+
+    shard="rows": A row-sharded, y sharded (gathered on return).
+    shard="k":    A column-sharded, exact limb psum across devices.
+    """
+    mesh = mesh or make_mesh()
+    nd = mesh.devices.size
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    ab = split_f64(np.asarray(a, np.float64))
+    m, n = ab.hi.shape
+    # z = fl(alpha * x), computed once and replicated
+    xb = split_f64(np.asarray(x, np.float64))
+    au = np.float64(alpha).view(np.uint64)
+    zbits = f64_mul(
+        jnp.broadcast_to(jnp.uint32(int(au) >> 32), xb.hi.shape),
+        jnp.broadcast_to(jnp.uint32(int(au) & 0xFFFFFFFF), xb.lo.shape),
+        xb.hi, xb.lo)
+    z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
+    z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    if shard == "rows":
+        if m % nd:
+            raise ValueError(f"m={m} must divide the mesh size {nd}")
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(axis), P(axis), P(), P()),
+                 out_specs=P(axis), check_vma=False)
+        def run(a_hi, a_lo, z_hi, z_lo):
+            limbs, special = _local_rows_acc(a_hi, a_lo, z_hi, z_lo, impl)
+            return round_rows(limbs, special)
+
+        return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo)
+
+    elif shard == "k":
+        if n % nd:
+            raise ValueError(f"n={n} must divide the mesh size {nd}")
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
+                 out_specs=P(), check_vma=False)
+        def run(a_hi, a_lo, z_hi, z_lo):
+            limbs, special = _local_rows_acc(a_hi, a_lo, z_hi, z_lo, impl)
+            # exact cross-device merge of per-row accumulators
+            limbs = jax.lax.psum(limbs, axis)
+            special = jax.lax.psum(special, axis)
+            return round_rows(limbs, special)
+
+        return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo)
+    raise ValueError(f"unknown shard strategy {shard!r}")
+
+
+def exgemm_sharded(a, b, mesh: Mesh | None = None, axis: str = AXIS,
+                   impl: str | None = None):
+    """Reproducible C = A@B with A row-sharded over the mesh -> bits (m, n)."""
+    mesh = mesh or make_mesh()
+    nd = mesh.devices.size
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    ab = split_f64(np.asarray(a, np.float64))
+    bb = split_f64(np.asarray(b, np.float64))
+    m = ab.hi.shape[0]
+    if m % nd:
+        raise ValueError(f"m={m} must divide the mesh size {nd}")
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(), P()),
+             out_specs=P(axis), check_vma=False)
+    def run(a_hi, a_lo, b_hi, b_lo):
+        if impl == "pallas":
+            from ..ops.kernels.gemm_kernel import gemm_bits_pallas
+
+            z = jnp.zeros((a_hi.shape[0], b_hi.shape[1]), jnp.uint32)
+            hi, lo = gemm_bits_pallas(a_hi, a_lo, b_hi, b_lo, z, z,
+                                      jnp.uint32(0), jnp.uint32(0), "zero")
+            return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
+        from ..ops.exgemm import gemm_acc_xla
+
+        limbs, special = gemm_acc_xla(a_hi, a_lo, b_hi, b_lo)
+        bits = round_rows(limbs, special)
+        return bits.reshape(a_hi.shape[0], b_hi.shape[1])
+
+    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)

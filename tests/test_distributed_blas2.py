@@ -1,0 +1,34 @@
+"""Sharded GEMV/GEMM mesh invariance on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import exblas_tpu as xb
+from exblas_tpu.parallel import exgemm_sharded, exgemv_sharded, make_mesh
+
+
+def _f(bits):
+    return np.asarray(bits).view(np.float64)
+
+
+@pytest.mark.parametrize("shard", ["rows", "k"])
+@pytest.mark.parametrize("nd", [1, 2, 8])
+def test_exgemv_sharded_mesh_invariance(shard, nd):
+    m, n = 32, 64
+    a = xb.init_fpuniform_matrix(m, n, 30, 0, seed=61)
+    x = xb.init_fpuniform(n, 30, 0, seed=62)
+    want = xb.exgemv("N", 1.5, a, x, impl="xla")
+    got = _f(exgemv_sharded(a, x, alpha=1.5, mesh=make_mesh(nd),
+                            shard=shard, impl="xla"))
+    assert (got.view(np.uint64) == want.view(np.uint64)).all(), (shard, nd)
+
+
+@pytest.mark.parametrize("nd", [1, 4])
+def test_exgemm_sharded_mesh_invariance(nd):
+    m = k = n = 16
+    a = xb.init_fpuniform_matrix(m, k, 25, 0, seed=63)
+    b = xb.init_fpuniform_matrix(k, n, 25, 0, seed=64)
+    want = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="xla")
+    got = _f(exgemm_sharded(a, b, mesh=make_mesh(nd), impl="xla"))
+    assert (got.reshape(m, n).view(np.uint64)
+            == want.view(np.uint64)).all(), nd
