@@ -1,24 +1,25 @@
-"""Headline benchmark: reproducible ExDOT vs non-reproducible fp64 control.
+"""Headline benchmark: reproducible ExGEMM vs the non-reproducible fp64
+control at n=4096 (the BASELINE.json target config).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-value        = ExDOT (Pallas, exact/reproducible) element throughput at
-               n = 2^22, in Gelem/s (amortized timing -- the TPU here sits
-               behind a ~35 ms host tunnel, so R dependent iterations run
-               inside one jit and the 1-iteration time is subtracted).
-vs_baseline  = exdot_time / jnp.dot_time against the non-reproducible
-               "fp64" jnp.dot on the same chip (f32-pair emulation -- the
-               TPU has no native fp64), i.e. the slowdown factor of exact
-               reproducibility.  BASELINE.md north star: <= 2x.
+value        = exact, bit-reproducible ExGEMM (MXU Ozaki-Kulisch slice path)
+               throughput at n = 4096 in TFLOP-equiv/s.
+vs_baseline  = t_exgemm / t_baseline against the non-reproducible "fp64"
+               jnp matmul on the same chip (f32-pair emulation -- the TPU
+               has no native fp64).  BASELINE.md north star: <= 2.0.
+               Values < 1 mean the *exact* GEMM is faster than the
+               non-reproducible control.
+
+Timing is amortized (R dependent iterations inside one jit, 1-iteration time
+subtracted) because this TPU sits behind a ~35 ms host tunnel and
+block_until_ready does not block through it.
 """
 
 from __future__ import annotations
 
 import json
-import sys
-
-import numpy as np
 
 
 def main():
@@ -26,31 +27,29 @@ def main():
     import jax.numpy as jnp
     import exblas_tpu as xb
     from exblas_tpu.core.ieee import split_f64
-    from exblas_tpu.core.rounding import round_superacc_to_f64_bits
-    from exblas_tpu.ops.kernels.dot_kernel import exdot_pallas
+    from exblas_tpu.ops.kernels.gemm_mxu import gemm_bits_mxu
     from exblas_tpu.utils.bench_utils import amortized_seconds
 
-    n = 1 << 22
-    a = xb.init_ill_cond(n, 1e16, seed=1)
-    b = xb.init_fpuniform(n, 10, 0, seed=2)
-    ba, bb = split_f64(a), split_f64(b)
-    hi_a, lo_a = jax.device_put(ba.hi), jax.device_put(ba.lo)
-    hi_b, lo_b = jax.device_put(bb.hi), jax.device_put(bb.lo)
+    n = 4096
+    a = xb.init_fpuniform_matrix(n, n, 10, 0, seed=1)
+    b = xb.init_fpuniform_matrix(n, n, 10, 0, seed=2)
+    ab, bb = split_f64(a), split_f64(b)
+    args = tuple(jax.device_put(v) for v in (ab.hi, ab.lo, bb.hi, bb.lo))
 
-    def mk_exdot(R):
+    def mk_ex(R):
         @jax.jit
-        def f(hi_a, lo_a, hi_b, lo_b):
+        def f(ah, al, bh, bl):
             def body(state, it):
-                acc = exdot_pallas(hi_a, lo_a ^ it, hi_b, lo_b, rows=64)
-                return state ^ round_superacc_to_f64_bits(acc), None
-            out, _ = jax.lax.scan(
-                body, jnp.uint64(0), jnp.arange(R, dtype=jnp.uint32))
+                hi, lo = gemm_bits_mxu(ah, al ^ (it & jnp.uint32(1)),
+                                       bh, bl, sa=8, sb=8)
+                return state ^ hi[0, 0], None
+            out, _ = jax.lax.scan(body, jnp.uint32(0),
+                                  jnp.arange(R, dtype=jnp.uint32))
             return out
         return f
 
-    t_ex = amortized_seconds(mk_exdot, (hi_a, lo_a, hi_b, lo_b), R=5, reps=2)
+    t_ex = amortized_seconds(mk_ex, args, R=3, reps=2)
 
-    # Non-reproducible fp64 control (reference analog: plain BLAS dot).
     ad = jax.device_put(jnp.asarray(a))
     bd = jax.device_put(jnp.asarray(b))
 
@@ -58,18 +57,19 @@ def main():
         @jax.jit
         def f(ad, bd):
             def body(state, it):
-                return state + jnp.dot(ad + state * 0, bd), None
-            out, _ = jax.lax.scan(
-                body, jnp.float64(0), jnp.arange(R, dtype=jnp.int32))
+                r = ad @ (bd + state * 0)
+                return state + r[0, 0], None
+            out, _ = jax.lax.scan(body, jnp.float64(0),
+                                  jnp.arange(R, dtype=jnp.int32))
             return out
         return f
 
-    t_base = amortized_seconds(mk_base, (ad, bd), R=5, reps=2)
+    t_base = amortized_seconds(mk_base, (ad, bd), R=3, reps=2)
 
     print(json.dumps({
-        "metric": "exdot_n2p22_gelem_per_s",
-        "value": round(n / t_ex / 1e9, 4),
-        "unit": "Gelem/s",
+        "metric": "exgemm_n4096_tflops_exact_reproducible",
+        "value": round(2 * n ** 3 / t_ex / 1e12, 3),
+        "unit": "TFLOP-equiv/s",
         "vs_baseline": round(t_ex / t_base, 3),
     }))
 

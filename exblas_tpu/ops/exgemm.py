@@ -158,12 +158,56 @@ def exgemm_bits(transa: str, transb: str, alpha: float, a, b,
         cb = F64Bits(hi=jnp.zeros((m, n), jnp.uint32),
                      lo=jnp.zeros((m, n), jnp.uint32))
 
-    if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     ah, al = _scalar_bits(alpha)
     bh, bl = _scalar_bits(beta)
+
+    if impl is None and jax.default_backend() == "tpu":
+        impl = "mxu" if beta_mode == "zero" else "pallas"
+    elif impl is None:
+        impl = "xla"
+
+    if impl == "mxu":
+        bits = _try_gemm_mxu(ab, bb, ah, al, beta_mode)
+        if bits is not None:
+            return bits
+        impl = "pallas"  # not coverable: exact VPU fallback, same bits
+
     return _gemm_bits_jit(ab.hi, ab.lo, bb.hi, bb.lo, ah, al, bh, bl,
                           cb.hi, cb.lo, impl, beta_mode)
+
+
+@partial(jax.jit, static_argnames=())
+def _mxu_precheck(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo):
+    from .kernels.gemm_mxu import analyze_gemm_operands
+
+    zbits = f64_mul(jnp.broadcast_to(alpha_hi, a_hi.shape),
+                    jnp.broadcast_to(alpha_lo, a_lo.shape), a_hi, a_lo)
+    z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
+    z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+    _, _, spread, has_special = analyze_gemm_operands(z_hi, z_lo, b_hi, b_lo)
+    return z_hi, z_lo, spread, has_special
+
+
+def _try_gemm_mxu(ab, bb, ah, al, beta_mode):
+    """Dispatch the exact MXU slice path when the data is coverable.
+
+    Returns bits (m, n) uint64, or None to fall back (wide dynamic range
+    within a row/column, special values, or beta != 0)."""
+    if beta_mode != "zero":
+        return None
+    from .kernels.gemm_mxu import gemm_bits_mxu
+
+    z_hi, z_lo, spread, has_special = _mxu_precheck(
+        ab.hi, ab.lo, bb.hi, bb.lo, ah, al)
+    spread = int(spread)  # = max(anchor - lsb + 1); covered iff <= 8*slices
+    if bool(has_special):
+        return None
+    n_slices = max(8, -(-spread // 8))
+    if n_slices > 16:
+        return None
+    hi, lo = gemm_bits_mxu(z_hi, z_lo, bb.hi, bb.lo,
+                           sa=n_slices, sb=n_slices)
+    return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
 
 
 def exgemm(transa: str, transb: str, alpha: float, a, b, beta: float = 1.0,

@@ -1,0 +1,335 @@
+"""MXU fast path for ExGEMM: exact Ozaki-style slice decomposition.
+
+The VPU-exact GEMM costs ~100 integer ops per MAC.  This path moves the
+FLOPs to the MXU while keeping every intermediate an exactly-representable
+integer, so the result stays exact and hence bit-identical to the VPU/XLA
+paths:
+
+* anchor exponents: E_i = max exponent of row i of A, F_j = max exponent of
+  column j of B;
+* each element is sliced into SA (resp. SB) signed 8-bit mantissa chunks
+  aligned to its row/column anchor -- each chunk is an integer in
+  (-256, 256), exactly representable in bf16.  An element is *covered* iff
+  its significand lies within 8*SA bits of the anchor; callers must check
+  coverage (``slice_spread``) and fall back to the VPU kernel otherwise;
+* slice-pair products: ``M_st = sum_k A_s[i,k] * B_t[k,j]`` over k-tiles of
+  256 are bf16 MXU matmuls with f32 accumulation -- every partial sum is an
+  integer of magnitude <= 256*255*255 < 2^24, so f32 accumulation is exact;
+* class deposits: ``a*b = sum_c M_c * 2^(E_i + F_j + 2 - 8(c+2))``.  In an
+  accumulator held *relative to the per-element anchor base* the deposit
+  position depends only on c = s+t -- a compile-time constant -- so deposits
+  are two static vector adds per slice pair, no windowed scatter at all;
+* rounding happens in-kernel on the small relative accumulator with the
+  per-element absolute exponent ``E_i + F_j`` re-applied.
+
+Reference counterpart: this is the "(b) Ozaki-style splitting on the MXU"
+plan of SURVEY.md §7; the reference itself has no analog (its GPU GEMM is a
+per-MAC EFT loop, ExGEMM.Superacc.cl:200-284).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.ieee import decode_fields
+from ...core.rounding import ieee_encode_round_pair
+from ...core.types import LIMB_BITS, LIMB_MASK
+
+LANES = 128
+KT = 256          # k-tile: f32 accumulation stays exact (sum < 2^24)
+_I = jnp.int32
+_U = jnp.uint32
+_Z = _np.int32(0)
+
+
+# ---------------------------------------------------------------------------
+# XLA-level prep: anchors, coverage, slices
+# ---------------------------------------------------------------------------
+
+def _exp_msb(hi, lo):
+    """Exponent of the leading bit; -10000 for zeros/specials (excluded)."""
+    sign, expf, mhi, mlo = decode_fields(hi, lo)
+    is_zero = jnp.logical_and(expf == 0,
+                              jnp.logical_and(mhi == 0, mlo == 0))
+    special = expf == 0x7FF
+    e = expf - _I(1023)  # normals: value in [2^e, 2^(e+1))
+    # subnormals: find the actual msb (expf == 0)
+    sub = jnp.logical_and(expf == 0, jnp.logical_not(is_zero))
+    # msb of the fraction via the exact float32-exponent trick on halves
+    def msb24(v):
+        f = jnp.maximum(v, _U(1)).astype(jnp.float32)
+        return ((jax.lax.bitcast_convert_type(f, _U) >> _U(23))
+                .astype(_I) - _I(127))
+    hi_msb = jnp.where(mhi != 0, msb24(mhi) + _I(32), msb24(mlo))
+    # subnormal value = frac * 2^-1074; msb position = msb(frac) - 1074
+    e_sub = hi_msb - _I(1074)
+    e = jnp.where(sub, e_sub, e)
+    e = jnp.where(jnp.logical_or(is_zero, special), _I(-10000), e)
+    return e, is_zero, special
+
+
+def analyze_gemm_operands(a_hi, a_lo, b_hi, b_lo):
+    """Anchors and coverage spread.  Returns (ea (m,), fb (n,), spread,
+    has_special) -- all device arrays; spread is the max over elements of
+    (anchor - element lsb exponent), i.e. slices needed = ceil((spread+1)/8).
+    """
+    e_a, zero_a, spec_a = _exp_msb(a_hi, a_lo)
+    e_b, zero_b, spec_b = _exp_msb(b_hi, b_lo)
+    ea = jnp.max(e_a, axis=1)               # (m,) row anchors
+    fb = jnp.max(e_b, axis=0)               # (n,) col anchors
+    # element lsb >= e_msb - 52 (conservative for trailing zeros)
+    lsb_a = jnp.where(zero_a | spec_a, _I(10000), e_a - _I(52))
+    lsb_b = jnp.where(zero_b | spec_b, _I(10000), e_b - _I(52))
+    spread_a = jnp.max(jnp.where(
+        lsb_a == 10000, _I(0), ea[:, None] - lsb_a + _I(1)))
+    spread_b = jnp.max(jnp.where(
+        lsb_b == 10000, _I(0), fb[None, :] - lsb_b + _I(1)))
+    spread = jnp.maximum(spread_a, spread_b)
+    has_special = jnp.logical_or(jnp.any(spec_a), jnp.any(spec_b))
+    return ea, fb, spread, has_special
+
+
+def _extract8(mlo, mhi, s):
+    """Bits [s, s+8) of the 53-bit value (mhi21:mlo32); s in [-7, 60]."""
+    def clip(x, lo, hi):
+        return jnp.minimum(jnp.maximum(x, _I(lo)), _I(hi))
+
+    k = _u(clip(-s, 0, 31))
+    neg = (mlo << k) & _U(0xFF)
+    s_lo = _u(clip(s, 0, 31))
+    up = _u(clip(32 - s, 0, 31))
+    low = ((mlo >> s_lo) | jnp.where(s > 0, mhi << up, _U(0))) & _U(0xFF)
+    s_hi = _u(clip(s - 32, 0, 31))
+    high = (mhi >> s_hi) & _U(0xFF)
+    out = jnp.where(s < 0, neg, jnp.where(s < 32, low, high))
+    return jnp.where(s >= 61, _U(0), out)
+
+
+def _u(x):
+    return x.astype(_U)
+
+
+def make_slices(hi, lo, anchors, n_slices: int, axis: int):
+    """Signed 8-bit anchored mantissa slices as bf16: (n_slices, m, k).
+
+    axis=0: anchors per row (shape (m,)); axis=1: anchors per column ((k,)).
+    Slice s holds bits [anchor+1-8(s+1), anchor+1-8s) of each element.
+    """
+    sign, expf, mhi, mlo = decode_fields(hi, lo)
+    e_lsb = jnp.maximum(expf, _I(1)) - _I(1075)  # exponent of significand lsb
+    anc = anchors[:, None] if axis == 0 else anchors[None, :]
+    sgn = jnp.where(sign == 1, _I(-1), _I(1))
+    valid = jnp.logical_and(expf != 0x7FF,
+                            jnp.logical_or(expf != 0,
+                                           jnp.logical_or(mhi != 0,
+                                                          mlo != 0)))
+    out = []
+    for s in range(n_slices):
+        cut = anc + _I(1) - _I(8 * (s + 1))   # absolute lsb of this slice
+        sh = cut - e_lsb                       # shift within the significand
+        piece = _extract8(mlo, mhi, sh).astype(_I) * sgn
+        piece = jnp.where(valid, piece, _I(0))
+        out.append(piece.astype(jnp.bfloat16))
+    return jnp.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
+    """Round the (l_rel*128, 128) relative accumulator -> (hi, lo) u32
+    (128, 128).  acc rows [q*128, (q+1)*128) hold limb q of all 128x128
+    elements.  e_base (128, 128) int32: absolute exponent of rel bit rel0.
+    """
+    def canon(j, carry):
+        d = acc[pl.ds(j * LANES, LANES), :] + carry
+        digit = d & _I(LIMB_MASK)
+        dig[pl.ds(j * LANES, LANES), :] = digit
+        return (d - digit) >> _I(LIMB_BITS)
+
+    carry_out = jax.lax.fori_loop(
+        _I(0), _I(l_rel), canon, jnp.zeros((LANES, LANES), _I))
+    negative = carry_out < 0
+
+    def negate(j, borrow):
+        d = dig[pl.ds(j * LANES, LANES), :]
+        t = (d ^ _I(LIMB_MASK)) + borrow
+        dig[pl.ds(j * LANES, LANES), :] = jnp.where(negative,
+                                                    t & _I(LIMB_MASK), d)
+        return t >> _I(LIMB_BITS)
+
+    jax.lax.fori_loop(_I(0), _I(l_rel), negate,
+                      jnp.ones((LANES, LANES), _I))
+
+    def msb20(d):
+        f = jnp.maximum(d, _I(1)).astype(jnp.float32)
+        return ((jax.lax.bitcast_convert_type(f, _U) >> _U(23))
+                .astype(_I) - _I(127))
+
+    def find_p(j, p):
+        d = dig[pl.ds(j * LANES, LANES), :]
+        cand = _I(LIMB_BITS) * j + msb20(d)
+        return jnp.where(d != 0, jnp.maximum(p, cand), p)
+
+    p_msb = jax.lax.fori_loop(_I(0), _I(l_rel), find_p,
+                              jnp.full((LANES, LANES), -1, _I))
+    pos_low = p_msb - _I(54)
+
+    def clip(x, lo, hi_):
+        return jnp.minimum(jnp.maximum(x, _I(lo)), _I(hi_))
+
+    def window(j, st):
+        w_hi, w_lo, sticky = st
+        d = _u(dig[pl.ds(j * LANES, LANES), :])
+        s = _I(LIMB_BITS) * j - pos_low
+        in_lo = jnp.logical_and(s > -20, s < 32)
+        in_hi = jnp.logical_and(s > 12, s < 55)
+        sh_l = _u(clip(s, 0, 31))
+        sh_nl = _u(clip(-s, 0, 31))
+        lo_part = jnp.where(s >= 0, d << sh_l, d >> sh_nl)
+        w_lo = jnp.where(in_lo, w_lo | lo_part, w_lo)
+        sh32 = _u(clip(s - 32, 0, 31))
+        sh32n = _u(clip(32 - s, 0, 31))
+        hi_part = jnp.where(s >= 32, d << sh32, d >> sh32n)
+        w_hi = jnp.where(in_hi, w_hi | hi_part, w_hi)
+        below_all = s <= _I(-20)
+        part_mask = (_U(1) << sh_nl) - _U(1)
+        hit = jnp.logical_or(
+            jnp.logical_and(below_all, d != 0),
+            jnp.logical_and(jnp.logical_and(s < 0,
+                                            jnp.logical_not(below_all)),
+                            (d & part_mask) != 0))
+        sticky = sticky | jnp.where(hit, _I(1), _I(0))
+        return w_hi, w_lo, sticky
+
+    w_hi, w_lo, sticky_i = jax.lax.fori_loop(
+        _I(0), _I(l_rel), window,
+        (jnp.zeros((LANES, LANES), _U), jnp.zeros((LANES, LANES), _U),
+         jnp.zeros((LANES, LANES), _I)))
+
+    sign = jnp.where(negative, _I(1), _I(0))
+    e_msb = p_msb + e_base - _I(rel0)
+    hi32, lo32 = ieee_encode_round_pair(
+        sign, e_msb, w_hi & _U(0x7FFFFF), w_lo, sticky_i != 0)
+    is_zero = p_msb < 0
+    hi32 = jnp.where(is_zero, _U(0), hi32)
+    lo32 = jnp.where(is_zero, _U(0), lo32)
+    return hi32, lo32
+
+
+def _renorm_rel(acc):
+    a = acc[...]
+    c = a >> _I(LIMB_BITS)
+    low = a - (c << _I(LIMB_BITS))
+    c_up = pltpu.roll(c, shift=jnp.int32(LANES), axis=0)
+    row = jax.lax.broadcasted_iota(_I, c_up.shape, 0)
+    c_up = jnp.where(row < LANES, _I(0), c_up)
+    acc[...] = low + c_up
+
+
+def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, yhi_out, ylo_out,
+                acc, dig, *, sa, sb, l_rel, rel0):
+    kt_i = pl.program_id(2)
+
+    @pl.when(kt_i == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    for s in range(sa):
+        a_s = a_sl_ref[s]          # (128, KT) bf16
+        for t in range(sb):
+            b_t = b_sl_ref[t]      # (KT, 128) bf16
+            m_f32 = jnp.dot(a_s, b_t, preferred_element_type=jnp.float32)
+            m = m_f32.astype(_I)   # exact: integer < 2^24
+            c = s + t
+            p_rel = rel0 - 8 * (c + 2)
+            q, r = divmod(p_rel, LIMB_BITS)
+            h = m >> _I(LIMB_BITS)
+            l_ = m - (h << _I(LIMB_BITS))
+            p0 = ((_u(l_) << _U(r)) & _U(LIMB_MASK)).astype(_I)
+            p1 = (_u(l_) >> _U(LIMB_BITS - r)).astype(_I) if r else _I(0)
+            acc[pl.ds(q * LANES, LANES), :] += p0
+            up = (h << _I(r)) + p1
+            acc[pl.ds((q + 1) * LANES, LANES), :] += up
+
+    # deposits grow by < ~2^27 per k-tile; renorm every 8 tiles
+    @pl.when(jnp.bitwise_and(kt_i + 1, _I(7)) == 0)
+    def _():
+        _renorm_rel(acc)
+
+    @pl.when(kt_i == pl.num_programs(2) - 1)
+    def _():
+        e_base = e_ref[...] + f_ref[0:1, :] + _I(2)  # (128,128) + (1,128)
+        hi32, lo32 = _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0)
+        yhi_out[...] = hi32
+        ylo_out[...] = lo32
+
+
+@functools.partial(jax.jit, static_argnames=("sa", "sb"))
+def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, sa: int = 10, sb: int = 10):
+    """C = A@B via the exact MXU slice path.  Caller must have verified
+    coverage (spread <= 8*sa-53 / 8*sb-53, no specials, beta == 0).
+
+    Returns (hi, lo) uint32 arrays of shape (m, n), bit-identical to the
+    VPU/XLA exact paths.
+    """
+    m, k = a_hi.shape
+    _, n = b_hi.shape
+    m_pad = -(-m // LANES) * LANES
+    n_pad = -(-n // LANES) * LANES
+    k_pad = -(-k // KT) * KT
+    a_hi = jnp.pad(a_hi, ((0, m_pad - m), (0, k_pad - k)))
+    a_lo = jnp.pad(a_lo, ((0, m_pad - m), (0, k_pad - k)))
+    b_hi = jnp.pad(b_hi, ((0, k_pad - k), (0, n_pad - n)))
+    b_lo = jnp.pad(b_lo, ((0, k_pad - k), (0, n_pad - n)))
+
+    ea, fb, _, _ = analyze_gemm_operands(a_hi, a_lo, b_hi, b_lo)
+    ea = jnp.where(ea < -9000, _I(0), ea)  # all-zero rows: anchor irrelevant
+    fb = jnp.where(fb < -9000, _I(0), fb)
+
+    a_sl = make_slices(a_hi, a_lo, ea, sa, axis=0)   # (sa, m, k) bf16
+    b_sl = make_slices(b_hi, b_lo, fb, sb, axis=1)   # (sb, k, n) bf16
+
+    rel0 = 8 * (sa + sb)
+    l_rel = (rel0 - 16 + 24) // LIMB_BITS + 2
+
+    e_b = jnp.broadcast_to(ea[:, None], (m_pad, LANES))      # (m, 128)
+    f_b = jnp.broadcast_to(fb[None, :], (8, n_pad))          # (8, n)
+
+    hi, lo = pl.pallas_call(
+        functools.partial(_mxu_kernel, sa=sa, sb=sb, l_rel=l_rel,
+                          rel0=rel0),
+        grid=(m_pad // LANES, n_pad // LANES, k_pad // KT),
+        in_specs=[
+            pl.BlockSpec((sa, LANES, KT), lambda i, j, kt: (_Z, i, kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb, KT, LANES), lambda i, j, kt: (_Z, kt, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i, j, kt: (_Z, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, n_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((m_pad, n_pad), jnp.uint32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
+            pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
+        ],
+    )(a_sl, b_sl, e_b, f_b)
+    return hi[:m, :n], lo[:m, :n]

@@ -17,7 +17,9 @@ import jax  # noqa: E402
 
 # The environment's sitecustomize force-registers a remote-TPU backend and
 # overrides JAX_PLATFORMS; pin the CPU platform explicitly after import.
-jax.config.update("jax_platforms", "cpu")
+# (JAX_EXBLAS_TPU_TESTS=1 disables the pin for tests/test_tpu_kernels.py.)
+if os.environ.get("JAX_EXBLAS_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import sys  # noqa: E402
 

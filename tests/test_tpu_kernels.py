@@ -1,0 +1,59 @@
+"""Pallas / MXU kernel tests -- require real TPU hardware.
+
+The CI suite (conftest pins the CPU platform) skips these; run manually:
+
+    JAX_EXBLAS_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q
+
+with a plain TPU-visible environment (no conftest CPU pin: the env var also
+disables the pin).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+TPU = (os.environ.get("JAX_EXBLAS_TPU_TESTS") == "1"
+       and jax.default_backend() == "tpu")
+
+pytestmark = pytest.mark.skipif(
+    not TPU, reason="requires real TPU (set JAX_EXBLAS_TPU_TESTS=1)")
+
+
+def test_exsum_pallas_matches_xla():
+    import exblas_tpu as xb
+    x = xb.init_ill_cond(50000, 1e30, seed=1)
+    import math
+    got = xb.exsum(x, impl="pallas")
+    assert np.float64(got).tobytes() == np.float64(math.fsum(x)).tobytes()
+
+
+def test_exdot_pallas_exact():
+    import exblas_tpu as xb
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle import exact_dot
+    a = xb.init_ill_cond(4096, 1e24, seed=2)
+    b = xb.init_ill_cond(4096, 1e24, seed=3)
+    got = xb.exdot(a, b, impl="pallas")
+    assert np.float64(got).tobytes() == np.float64(exact_dot(a, b)).tobytes()
+
+
+def test_gemm_mxu_matches_vpu():
+    import exblas_tpu as xb
+    a = xb.init_fpuniform_matrix(64, 300, 20, 0, seed=4)
+    b = xb.init_fpuniform_matrix(300, 64, 20, 0, seed=5)
+    mxu = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="mxu")
+    vpu = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="pallas")
+    assert (mxu.view(np.uint64) == vpu.view(np.uint64)).all()
+
+
+def test_gemv_pallas_matches_xla():
+    import exblas_tpu as xb
+    a = xb.init_fpuniform_matrix(200, 300, 30, 0, seed=6)
+    x = xb.init_fpuniform(300, 30, 0, seed=7)
+    got = xb.exgemv("N", 1.0, a, x, impl="pallas")
+    want = xb.exgemv("N", 1.0, a, x, impl="xla")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
