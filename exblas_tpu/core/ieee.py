@@ -72,7 +72,18 @@ def split_f64(x) -> F64Bits:
     if isinstance(x, F64Bits):
         return x
     if isinstance(x, jax.Array) and x.dtype == jnp.float64:
-        # Only safe on CPU backends; TPU cannot hold true f64.
+        try:
+            platform = next(iter(x.devices())).platform
+        except Exception:
+            platform = "cpu"
+        if platform != "cpu":
+            # f64 does not even round-trip TPU storage (f32-pair emulation):
+            # the bits are already corrupted by the time we could split them.
+            raise ValueError(
+                "split_f64: received a float64 jax.Array on a non-CPU "
+                "device; fp64 values cannot live on this accelerator "
+                "losslessly. Pass a numpy array (or core.F64Bits) instead."
+            )
         u = jax.lax.bitcast_convert_type(x, jnp.uint32)
         return F64Bits(hi=u[..., 1], lo=u[..., 0])
     return F64Bits.from_numpy(np.asarray(x, dtype=np.float64))

@@ -95,8 +95,19 @@ def exsum_bits(x, inca: int = 1, offset: int = 0, fpe: int = 2,
 
 
 def exsum(x, inca: int = 1, offset: int = 0, fpe: int = 2,
-          early_exit: bool = False, impl: str | None = None) -> float:
-    """Correctly rounded, reproducible sum(x[offset::inca]) -> Python float."""
+          early_exit: bool = False, impl: str | None = None,
+          parallel: bool = True) -> float:
+    """Correctly rounded, reproducible sum(x[offset::inca]) -> Python float.
+
+    ``parallel`` mirrors the reference's TBB knob (blas1.hpp:48); with
+    ``parallel=False`` the sum runs single-threaded on the host via the
+    native C++ backend.  Results are bit-identical either way.
+    """
+    if not parallel:
+        from ..cpu_backend import exsum_cpu
+
+        x = np.asarray(x, np.float64)[offset::inca]
+        return exsum_cpu(x, num_threads=1)
     bits = exsum_bits(x, inca=inca, offset=offset, fpe=fpe,
                       early_exit=early_exit, impl=impl)
     return float(np.asarray(bits).reshape(1).view(np.float64)[0])
