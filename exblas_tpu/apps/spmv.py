@@ -13,41 +13,16 @@ from __future__ import annotations
 import numpy as np
 import jax
 
-from ..core import deposit as dep
 from ..core.ieee import split_f64
-from ..core.types import DOT_FORMAT, LIMB_BITS
-from ..ops.exgemv import round_rows
-
-_I64 = None
+from ..ops.exgemv import dot_rows_acc_xla, round_rows
 
 
 def _rows_dot_exact(vals, gathered_x):
     """Per-row exact dot of equal-length (padded) rows -> f64 array."""
-    import jax.numpy as jnp
-
-    m, n = vals.shape
-    L = DOT_FORMAT.n_limbs
     av = split_f64(vals)
     xv = split_f64(gathered_x)
-    t = dep.product_terms(av.hi, av.lo, xv.hi, xv.lo,
-                          DOT_FORMAT.offset_bits)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
-    q, r, s = t["q"], t["r"], t["s"].astype(jnp.int64)
-    limbs = jnp.zeros((m * L,), jnp.int64)
-    for k, cls in enumerate(t["classes"]):
-        pbit = r + 14 * k
-        dq = pbit // LIMB_BITS
-        rr = pbit - dq * LIMB_BITS
-        p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
-        for off, piece in enumerate((p0, p1, p2)):
-            seg = row_ids * L + q + dq + off
-            limbs = limbs + jax.ops.segment_sum(
-                piece.astype(jnp.int64).reshape(-1) * s.reshape(-1),
-                seg.reshape(-1), num_segments=m * L)
-    special = jnp.stack([jnp.sum(t["nan"], axis=1),
-                         jnp.sum(t["pinf"], axis=1),
-                         jnp.sum(t["ninf"], axis=1)], axis=-1)
-    bits = round_rows(limbs.reshape(m, L), special)
+    limbs, special = dot_rows_acc_xla(av.hi, av.lo, xv.hi, xv.lo)
+    bits = round_rows(limbs, special)
     return np.asarray(bits).view(np.float64)
 
 

@@ -141,6 +141,32 @@ def sum_terms(hi, lo, offset_bits):
     return dict(q=q, pieces=pieces, valid=valid, nan=nan, pinf=pinf, ninf=ninf)
 
 
+def segment_deposit_products(limbs_flat, t, seg_base, n_limbs):
+    """XLA-level exact deposit of product_terms ``t`` into flattened per-row
+    limb accumulators via segment sums.
+
+    limbs_flat: int64 (R * n_limbs,); seg_base: int32 row ids * n_limbs,
+    broadcastable against t's arrays.  Returns the updated limbs_flat.
+    (Shared by the exgemv/exgemm/extrsv XLA paths and the SpMV app.)
+    """
+    import jax
+
+    q, r, s = t["q"], t["r"], t["s"].astype(jnp.int64)
+    for k, cls in enumerate(t["classes"]):
+        pbit = r + 14 * k
+        dq = pbit // LIMB_BITS
+        rr = pbit - dq * LIMB_BITS
+        p0, p1, p2 = split_value30(cls.astype(jnp.uint32), rr)
+        for off, piece in enumerate((p0, p1, p2)):
+            seg = seg_base + q + dq + off
+            limbs_flat = limbs_flat + jax.ops.segment_sum(
+                (piece.astype(jnp.int64) * s).reshape(-1),
+                seg.reshape(-1),
+                num_segments=limbs_flat.shape[0],
+            )
+    return limbs_flat
+
+
 def mant_pieces14(mant_hi21, mant_lo32):
     """Split a 53-bit significand into four 14-bit pieces (LSB first)."""
     mlo = _u(mant_lo32)

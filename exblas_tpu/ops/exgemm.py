@@ -53,19 +53,8 @@ def gemm_acc_xla(a_hi, a_lo, b_hi, b_lo):
         jax.lax.broadcasted_iota(jnp.int32, (m, k, n), 0) * n
         + jax.lax.broadcasted_iota(jnp.int32, (m, k, n), 2)
     )
-    q, r, s = t["q"], t["r"], t["s"].astype(_I64)
-    limbs = jnp.zeros((m * n * L,), _I64)
-    for kk, cls in enumerate(t["classes"]):
-        pbit = r + 14 * kk
-        dq = pbit // LIMB_BITS
-        rr = pbit - dq * LIMB_BITS
-        p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
-        for off, piece in enumerate((p0, p1, p2)):
-            seg = out_ids * L + q + dq + off
-            limbs = limbs + jax.ops.segment_sum(
-                piece.astype(_I64).reshape(-1) * s.reshape(-1),
-                seg.reshape(-1), num_segments=m * n * L,
-            )
+    limbs = dep.segment_deposit_products(
+        jnp.zeros((m * n * L,), _I64), t, out_ids * L, L)
     special = jnp.stack(
         [jnp.sum(t["nan"], axis=1).reshape(-1),
          jnp.sum(t["pinf"], axis=1).reshape(-1),
@@ -109,18 +98,8 @@ def _gemm_bits_jit(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo,
             jnp.broadcast_to(beta_lo, c_lo.shape).reshape(-1),
             c_hi.reshape(-1), c_lo.reshape(-1), DOT_FORMAT.offset_bits)
         row_ids = jnp.arange(m * n, dtype=jnp.int32)
-        flat = limbs.reshape(-1)
-        q, r, s = t["q"], t["r"], t["s"].astype(_I64)
-        for kk, cls in enumerate(t["classes"]):
-            pbit = r + 14 * kk
-            dq = pbit // LIMB_BITS
-            rr = pbit - dq * LIMB_BITS
-            p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
-            for off, piece in enumerate((p0, p1, p2)):
-                seg = row_ids * L + q + dq + off
-                flat = flat + jax.ops.segment_sum(
-                    piece.astype(_I64) * s, seg, num_segments=m * n * L)
-        limbs = flat.reshape(m * n, L)
+        limbs = dep.segment_deposit_products(
+            limbs.reshape(-1), t, row_ids * L, L).reshape(m * n, L)
         special = special + jnp.stack([t["nan"], t["pinf"], t["ninf"]],
                                       axis=-1)
 

@@ -55,22 +55,12 @@ def dot_rows_acc_xla(a_hi, a_lo, z_hi, z_lo):
     m, n = a_hi.shape
     L = DOT_FORMAT.n_limbs
     t = dep.product_terms(
-        a_hi, a_lo, z_hi[None, :], z_lo[None, :], DOT_FORMAT.offset_bits
+        a_hi, a_lo, z_hi[None, :] if z_hi.ndim == 1 else z_hi,
+        z_lo[None, :] if z_lo.ndim == 1 else z_lo, DOT_FORMAT.offset_bits
     )
-    q, r, s = t["q"], t["r"], t["s"].astype(_I64)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
-    limbs = jnp.zeros((m * L,), _I64)
-    for k, cls in enumerate(t["classes"]):
-        pbit = r + 14 * k
-        dq = pbit // LIMB_BITS
-        rr = pbit - dq * LIMB_BITS
-        p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
-        for off, piece in enumerate((p0, p1, p2)):
-            seg = row_ids * L + q + dq + off
-            limbs = limbs + jax.ops.segment_sum(
-                piece.astype(_I64).reshape(-1) * s.reshape(-1),
-                seg.reshape(-1), num_segments=m * L,
-            )
+    limbs = dep.segment_deposit_products(
+        jnp.zeros((m * L,), _I64), t, row_ids * L, L)
     special = jnp.stack(
         [jnp.sum(t["nan"], axis=1), jnp.sum(t["pinf"], axis=1),
          jnp.sum(t["ninf"], axis=1)], axis=-1,
@@ -137,18 +127,8 @@ def _gemv_bits_jit(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
             jnp.broadcast_to(beta_lo, y_lo.shape),
             y_hi, y_lo, DOT_FORMAT.offset_bits)
         row_ids = jnp.arange(m, dtype=jnp.int32)
-        flat = limbs.reshape(-1)
-        q, r, s = t["q"], t["r"], t["s"].astype(_I64)
-        for k, cls in enumerate(t["classes"]):
-            pbit = r + 14 * k
-            dq = pbit // LIMB_BITS
-            rr = pbit - dq * LIMB_BITS
-            p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
-            for off, piece in enumerate((p0, p1, p2)):
-                seg = row_ids * L + q + dq + off
-                flat = flat + jax.ops.segment_sum(
-                    piece.astype(_I64) * s, seg, num_segments=m * L)
-        limbs = flat.reshape(m, L)
+        limbs = dep.segment_deposit_products(
+            limbs.reshape(-1), t, row_ids * L, L).reshape(m, L)
         special = special + jnp.stack(
             [t["nan"], t["pinf"], t["ninf"]], axis=-1)
 
