@@ -170,7 +170,9 @@ def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int,
 
 
 def _choose_block(n: int) -> int:
-    for b in (128, 64, 32, 16, 8, 4, 2, 1):
+    # 32 measures ~2x faster than 128 on v5e (smaller per-step deposits in
+    # the sequential diagonal sweep); results are block-size invariant.
+    for b in (32, 16, 8, 4, 2, 1):
         if n % b == 0:
             return b
     return 1

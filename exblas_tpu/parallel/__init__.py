@@ -4,13 +4,15 @@ from .distributed import (
     make_mesh,
     psum_superacc,
 )
-from .blas2 import exgemm_sharded, exgemv_sharded
+from .blas2 import exgemm_sharded, exgemv_sharded, exgemv_sharded_2d, make_mesh_2d
 
 __all__ = [
     "exdot_sharded",
     "exgemm_sharded",
     "exgemv_sharded",
+    "exgemv_sharded_2d",
     "exsum_sharded",
     "make_mesh",
+    "make_mesh_2d",
     "psum_superacc",
 ]

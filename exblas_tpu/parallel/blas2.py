@@ -90,6 +90,49 @@ def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
     raise ValueError(f"unknown shard strategy {shard!r}")
 
 
+def make_mesh_2d(shape, axes=("rows", "k")) -> Mesh:
+    """2-D device mesh, e.g. (2, 4) for row-parallel x reduction-parallel."""
+    devs = np.asarray(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(devs, axes)
+
+
+def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None):
+    """Reproducible y = alpha*A@x over a 2-D (rows, k) mesh.
+
+    A is sharded over both axes; per-device partial accumulators are merged
+    with an exact limb psum over the reduction axis, rows stay sharded.
+    Bit-identical for every mesh shape (the 2-D analog of the reference's
+    partition-invariance claim).
+    """
+    mesh = mesh or make_mesh_2d((1, len(jax.devices())))
+    impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    row_ax, k_ax = mesh.axis_names
+    ab = split_f64(np.asarray(a, np.float64))
+    m, n = ab.hi.shape
+    if m % mesh.shape[row_ax] or n % mesh.shape[k_ax]:
+        raise ValueError(
+            f"({m}, {n}) must divide the mesh shape {dict(mesh.shape)}")
+    xb_ = split_f64(np.asarray(x, np.float64))
+    au = np.float64(alpha).view(np.uint64)
+    zbits = f64_mul(
+        jnp.broadcast_to(jnp.uint32(int(au) >> 32), xb_.hi.shape),
+        jnp.broadcast_to(jnp.uint32(int(au) & 0xFFFFFFFF), xb_.lo.shape),
+        xb_.hi, xb_.lo)
+    z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
+    z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(row_ax, k_ax), P(row_ax, k_ax), P(k_ax), P(k_ax)),
+             out_specs=P(row_ax), check_vma=False)
+    def run(a_hi, a_lo, z_hi, z_lo):
+        limbs, special = _local_rows_acc(a_hi, a_lo, z_hi, z_lo, impl)
+        limbs = jax.lax.psum(limbs, k_ax)
+        special = jax.lax.psum(special, k_ax)
+        return round_rows(limbs, special)
+
+    return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo)
+
+
 def exgemm_sharded(a, b, mesh: Mesh | None = None, axis: str = AXIS,
                    impl: str | None = None):
     """Reproducible C = A@B with A row-sharded over the mesh -> bits (m, n)."""

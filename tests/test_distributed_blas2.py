@@ -32,3 +32,15 @@ def test_exgemm_sharded_mesh_invariance(nd):
     got = _f(exgemm_sharded(a, b, mesh=make_mesh(nd), impl="xla"))
     assert (got.reshape(m, n).view(np.uint64)
             == want.view(np.uint64)).all(), nd
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2), (8, 1), (2, 2)])
+def test_exgemv_sharded_2d_mesh_shape_invariance(shape):
+    from exblas_tpu.parallel import exgemv_sharded_2d, make_mesh_2d
+
+    m, n = 32, 64
+    a = xb.init_fpuniform_matrix(m, n, 30, 0, seed=65)
+    x = xb.init_fpuniform(n, 30, 0, seed=66)
+    want = xb.exgemv("N", 1.5, a, x, impl="xla")
+    got = _f(exgemv_sharded_2d(a, x, alpha=1.5, mesh=make_mesh_2d(shape)))
+    assert (got.view(np.uint64) == want.view(np.uint64)).all(), shape
