@@ -128,10 +128,21 @@ def sum_terms(hi, lo, offset_bits):
 
     s = jnp.where(sign == 1, _I(-1), _I(1))
     s = jnp.where(valid, s, _I(0))
-    pieces = tuple(
-        _i(extract_bits20(mant_lo32, mant_hi21, _I(LIMB_BITS) * t - r)) * s
-        for t in range(4)
-    )
+    # shifted significand mant53 << r (<= 73 bits) as three u32 words, then
+    # four static 20-bit field extractions -- cheaper than per-piece funnels
+    mlo = _u(mant_lo32)
+    mhi = _u(mant_hi21)
+    ru = _u(r)
+    down = _u(_clip_i32(32 - r, 1, 31))
+    w0 = mlo << ru
+    w1 = jnp.where(r > 0, (mhi << ru) | (mlo >> down), mhi)
+    w2 = jnp.where(r > 0, mhi >> down, _U(0))
+    m20 = _U(LIMB_MASK)
+    p0 = w0 & m20
+    p1 = ((w0 >> _U(20)) | (w1 << _U(12))) & m20
+    p2 = (w1 >> _U(8)) & m20
+    p3 = ((w1 >> _U(28)) | (w2 << _U(4))) & m20
+    pieces = tuple(_i(p) * s for p in (p0, p1, p2, p3))
     q = jnp.where(valid, q, _I(0))
 
     one, zero = _I(1), _I(0)
