@@ -141,8 +141,10 @@ def _validate_fpe(fpe: int):
 
 
 def _variant_rows(fpe: int, early_exit: bool) -> int:
-    base = {0: 256, 1: 256, 2: 128, 3: 256, 4: 384, 5: 512, 6: 640,
-            7: 768, 8: 896}
+    # k_rows * RENORM_EVERY is bounded by limb carry slack:
+    # 4 * (k_rows/8) * 3 * 2^20 must stay < 2^31  =>  k_rows <= 1360.
+    base = {0: 256, 1: 256, 2: 128, 3: 256, 4: 320, 5: 384, 6: 448,
+            7: 512, 8: 640}
     r = base[int(fpe)]
     return r * 2 if early_exit else r
 

@@ -259,8 +259,10 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, yhi_out, ylo_out,
             up = (h << _I(r)) + p1
             acc[pl.ds((q + 1) * LANES, LANES), :] += up
 
-    # deposits grow by < ~2^27 per k-tile; renorm every 8 tiles
-    @pl.when(jnp.bitwise_and(kt_i + 1, _I(7)) == 0)
+    # overflow safety: per k-tile a limb row can receive ~2.5 classes x sa
+    # pairs of deposits up to ~2^23 each (~2^28.6 at sa=16); renorm every
+    # 2 tiles keeps growth < 2^30.
+    @pl.when(jnp.bitwise_and(kt_i + 1, _I(1)) == 0)
     def _():
         _renorm_rel(acc)
 

@@ -114,7 +114,10 @@ def gemv_rows_acc_pallas(a_hi, a_lo, z_hi, z_lo, k_rows: int = 256):
     a: (m, n) bit pair; z: (n,) bit pair.
     Returns (limbs int64 (m, L_DOT), special int32 (m, 3)).
     """
-    assert k_rows % 8 == 0
+    # overflow safety: limb growth between renorms is bounded by
+    # RENORM_EVERY * (k_rows/8) * 3 * 2^20, which must stay < 2^31 - 2^21,
+    # i.e. RENORM_EVERY * (k_rows/8) * 3 < 2^11 - 2.
+    assert k_rows % 8 == 0 and RENORM_EVERY * (k_rows // 8) * 3 < 2046
     m, n = a_hi.shape
     m_pad = -(-m // LANES) * LANES
     n_pad = -(-n // k_rows) * k_rows
