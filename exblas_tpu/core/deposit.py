@@ -42,37 +42,6 @@ def _clip_i32(x, lo: int, hi: int):
     return jnp.minimum(jnp.maximum(x, _I(lo)), _I(hi))
 
 
-def extract_bits20(mant_lo32, mant_hi21, s):
-    """Bits [s, s+20) of the value ``mant_hi21*2^32 + mant_lo32`` (a <=53-bit
-    unsigned integer), for per-lane shift ``s`` (int32) in [-19, 72].
-
-    Negative ``s`` means the value is conceptually shifted left by ``-s``.
-    Returns uint32 in [0, 2^20).
-    """
-    mlo = _u(mant_lo32)
-    mhi = _u(mant_hi21)
-    s = _i(s)
-
-    # s < 0: low 20 bits of (value << -s); only mlo's low bits matter.
-    k = _u(_clip_i32(-s, 0, 31))
-    neg = (mlo << k) & _U(LIMB_MASK)
-
-    # 0 <= s < 32: (mlo >> s) | (mhi << (32 - s)), the latter 0 when s == 0.
-    s_lo = _u(_clip_i32(s, 0, 31))
-    from_lo = mlo >> s_lo
-    up_sh = _u(_clip_i32(32 - s, 0, 31))
-    from_hi_low = jnp.where(s > 0, mhi << up_sh, _U(0))
-    low = (from_lo | from_hi_low) & _U(LIMB_MASK)
-
-    # s >= 32: mhi >> (s - 32).
-    s_hi = _u(_clip_i32(s - 32, 0, 31))
-    high = (mhi >> s_hi) & _U(LIMB_MASK)
-    high = jnp.where(s >= 53 + 19, _U(0), high)
-
-    out = jnp.where(s < 0, neg, jnp.where(s < 32, low, high))
-    return out
-
-
 def split_value30(c, r):
     """Split ``c * 2^r`` (c uint32 < 2^30, 0 <= r < 20) into three limb pieces.
 

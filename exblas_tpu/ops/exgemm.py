@@ -27,7 +27,7 @@ import numpy as np
 from ..core import deposit as dep
 from ..core.f64ops import f64_mul
 from ..core.ieee import F64Bits, split_f64
-from ..core.types import DOT_FORMAT, LIMB_BITS
+from ..core.types import DOT_FORMAT
 from .exgemv import round_rows, _scalar_bits
 
 _I64 = jnp.int64

@@ -33,7 +33,7 @@ from ..core.f64ops import f64_mul
 from ..core.ieee import F64Bits, split_f64
 from ..core.rounding import round_digits_to_f64_bits, canonicalize_digits
 from ..core.rounding import QNAN_BITS, NINF_BITS, PINF_BITS
-from ..core.types import DOT_FORMAT, LIMB_BITS
+from ..core.types import DOT_FORMAT
 
 _I64 = jnp.int64
 _U64 = jnp.uint64
