@@ -20,6 +20,12 @@ import jax  # noqa: E402
 # (JAX_EXBLAS_TPU_TESTS=1 disables the pin for tests/test_tpu_kernels.py.)
 if os.environ.get("JAX_EXBLAS_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
+    # CPU AOT results cached from the remote compile helper can carry
+    # mismatched machine features (SIGILL risk); compile locally in tests.
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        pass
 
 import sys  # noqa: E402
 
