@@ -52,13 +52,21 @@ def _dot_kernel(hi_a_ref, lo_a_ref, hi_b_ref, lo_b_ref,
         DOT_FORMAT.offset_bits,
     )
     q, r, s = t["q"], t["r"], t["s"]
+    # shared window bounds: class k's base limb q+dq_k is within
+    # [q + 14k//20, q + 14k//20 + 1], so two cross-lane reductions serve
+    # all seven classes (instead of two per class)
+    big = _I(L_DOT + 8)
+    qmin0 = jnp.min(jnp.where(t["valid"], q, big))
+    qmax0 = jnp.max(jnp.where(t["valid"], q, _I(-1)))
     for k, cls in enumerate(t["classes"]):
         pbit = r + _I(14 * k)
         dq = pbit // _I(LIMB_BITS)
         rr = pbit - dq * _I(LIMB_BITS)
         p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
         pieces = tuple(p.astype(_I) * s for p in (p0, p1, p2))
-        deposit_block(acc, q + dq, pieces, t["valid"], L_DOT)
+        a_k = 14 * k // 20
+        deposit_block(acc, q + dq, pieces, t["valid"], L_DOT,
+                      bounds=(qmin0 + _I(a_k), qmax0 + _I(a_k + 1)))
 
     counts = jnp.stack(
         [jnp.sum(t["nan"], axis=0, dtype=_I),

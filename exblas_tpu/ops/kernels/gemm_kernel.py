@@ -41,6 +41,7 @@ def _deposit_products_phase(acc, t, group):
     phase-layout accumulator; element (kk, lane) goes to phase kk % 8."""
     q, r, s = t["q"], t["r"], t["s"]
     big = _I(L_DOT + 8)
+    # NB: per-class tight windows (see gemv kernel note).
     for k, cls in enumerate(t["classes"]):
         pbit = r + _I(14 * k)
         dq = pbit // _I(LIMB_BITS)

@@ -63,6 +63,8 @@ def _gemv_kernel(at_hi_ref, at_lo_ref, z_hi_ref, z_lo_ref,
     )
     q, r, s = t["q"], t["r"], t["s"]
     big = _I(L_DOT + 8)
+    # NB: per-class tight windows; shared (wider) bounds measured slower here
+    # because this loop body is heavy (k-phase reduction per iteration).
     for k, cls in enumerate(t["classes"]):
         pbit = r + _I(14 * k)
         dq = pbit // _I(LIMB_BITS)

@@ -51,18 +51,22 @@ RENORM_EVERY = 4
 MAX_ROWS_X_RENORM = 1 << (31 - LIMB_BITS - 1)
 
 
-def deposit_block(acc_ref, q, pieces, valid, n_limbs):
+def deposit_block(acc_ref, q, pieces, valid, n_limbs, bounds=None):
     """Deposit a (G, 128) block of decomposed terms into the limb scratch.
 
     One fori_loop over the limb window [min q, max q + len(pieces)) of the
     whole block; each iteration selects the matching piece per element and
     reduces over the G sublanes.  Exact regardless of window (invalid terms
-    have q=0, pieces=0).
+    have q=0, pieces=0).  ``bounds=(qmin, qmax)`` supplies precomputed
+    (possibly conservative) bounds on q, saving cross-lane reductions.
     """
     npieces = len(pieces)
-    big = _I(n_limbs + 8)
-    qmin = jnp.min(jnp.where(valid, q, big))
-    qmax = jnp.max(jnp.where(valid, q, _I(-1)))
+    if bounds is not None:
+        qmin, qmax = bounds
+    else:
+        big = _I(n_limbs + 8)
+        qmin = jnp.min(jnp.where(valid, q, big))
+        qmax = jnp.max(jnp.where(valid, q, _I(-1)))
 
     def body(j, carry):
         d = j - q
