@@ -59,8 +59,15 @@ def canonicalize_digits(limbs):
     digits: int32 (..., L), each in [0, 2^20) -- base-2^20 representation of
     |V| if V >= 0, or of 2^(20L) - |V| if V < 0 (two's complement).
     negative: bool (...,) -- sign of the exact value.
+
+    int32 limbs are scanned directly (running carries stay < 2^12); wider
+    limbs are first compressed by vectorized carry passes, which requires
+    the format's headroom invariant (|V| < 2^(total_bits - 64)).
     """
-    x32 = _compress_to_i32(limbs)  # limbs now < 2^20 + small slack
+    if limbs.dtype == jnp.int32:
+        x32 = limbs
+    else:
+        x32 = _compress_to_i32(limbs)  # limbs now < 2^20 + small slack
     x = jnp.moveaxis(x32, -1, 0)   # (L, ...)
 
     def step(carry, limb):
