@@ -75,7 +75,9 @@ def canonicalize_digits(limbs):
         digit = d & _I32(LIMB_MASK)
         return (d - digit) >> _I32(LIMB_BITS), digit
 
-    carry_out, digits = jax.lax.scan(step, jnp.zeros(x.shape[1:], _I32), x)
+    carry_out, digits = jax.lax.scan(
+        step, jnp.zeros(x.shape[1:], _I32), x, unroll=8
+    )
     negative = carry_out < 0
     return jnp.moveaxis(digits, 0, -1), negative
 
@@ -88,7 +90,7 @@ def negate_digits(digits):
         t = (digit ^ _I32(LIMB_MASK)) + carry
         return t >> _I32(LIMB_BITS), t & _I32(LIMB_MASK)
 
-    _, out = jax.lax.scan(step, jnp.ones(x.shape[1:], _I32), x)
+    _, out = jax.lax.scan(step, jnp.ones(x.shape[1:], _I32), x, unroll=8)
     return jnp.moveaxis(out, 0, -1)
 
 
