@@ -80,10 +80,6 @@ inline double two_sum(double a, double b, double& err) {
   return s;
 }
 
-inline bool is_finite_nonzero_safe(double x) {
-  return std::isfinite(x);
-}
-
 void accumulate_range(const double* x, int64_t n, Acc& acc) {
   double fpe[kFpeSize] = {0.0};
   for (int64_t i = 0; i < n; ++i) {
@@ -93,6 +89,15 @@ void accumulate_range(const double* x, int64_t n, Acc& acc) {
       continue;
     }
     for (int j = 0; j < kFpeSize; ++j) {
+      // fl(fpe[j]+v) can overflow to inf for huge same-sign operands, which
+      // would poison the TwoSum error term with NaN.  The limb deposit is
+      // exact for ANY finite double, so bypass the expansion in that case
+      // (the reference instead slides the FPE to the superaccumulator).
+      if (!std::isfinite(fpe[j] + v)) {
+        deposit(acc, v);
+        v = 0.0;
+        break;
+      }
       double err;
       fpe[j] = two_sum(fpe[j], v, err);
       v = err;

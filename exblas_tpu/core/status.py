@@ -18,7 +18,7 @@ import enum
 
 import jax.numpy as jnp
 
-from .accumulator import accumulate_sum_terms
+from . import deposit as _dep
 from .rounding import (
     canonicalize_digits,
     f64_bits_to_hi_lo,
@@ -48,17 +48,20 @@ def status_of(acc: Superacc):
         nan_c == 0, jnp.logical_and(pos_c == 0, neg_c == 0))
     overflowed = jnp.logical_and(finite_inputs, expf == 0x7FF)
 
-    # Exactness: re-deposit the rounded double and compare canonical digits.
+    # Exactness: re-deposit the rounded double (one-hot over the limb axis,
+    # shape-polymorphic so batched accumulators get per-element verdicts) and
+    # compare canonical digits.
     hi, lo = f64_bits_to_hi_lo(bits)
-    redep = accumulate_sum_terms(
-        hi.reshape(-1), lo.reshape(-1), acc.fmt
-    ) if acc.limbs.ndim == 1 else None
-    if redep is not None:
-        d1, n1 = canonicalize_digits(acc.limbs)
-        d2, n2 = canonicalize_digits(redep.limbs)
-        exact = jnp.logical_and(jnp.all(d1 == d2), n1 == n2)
-    else:
-        exact = jnp.zeros(bits.shape, jnp.bool_)
+    t = _dep.sum_terms(hi, lo, acc.fmt.offset_bits)
+    idx = jnp.arange(acc.fmt.n_limbs, dtype=jnp.int32)
+    redep_limbs = jnp.zeros(bits.shape + (acc.fmt.n_limbs,), jnp.int32)
+    for off, piece in enumerate(t["pieces"]):
+        redep_limbs = redep_limbs + jnp.where(
+            idx == (t["q"] + off)[..., None], piece[..., None], jnp.int32(0)
+        )
+    d1, n1 = canonicalize_digits(acc.limbs)
+    d2, n2 = canonicalize_digits(redep_limbs)
+    exact = jnp.logical_and(jnp.all(d1 == d2, axis=-1), n1 == n2)
 
     status = jnp.where(exact, Status.EXACT, Status.INEXACT).astype(jnp.int32)
     status = jnp.where(overflowed, jnp.int32(Status.OVERFLOW), status)

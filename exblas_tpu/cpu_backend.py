@@ -89,6 +89,15 @@ def round_limbs_exact(limbs, special) -> float:
         v += int(limb) << (LIMB_BITS * j)
     if v == 0:
         return 0.0
+    # Exact value is v / 2^1074.  float(Fraction) raises OverflowError past
+    # DBL_MAX instead of rounding to inf; the round-to-nearest-even overflow
+    # boundary is 2^1024 - 2^970 (midpoint above DBL_MAX = 2^1024 - 2^971,
+    # tie rounds away since DBL_MAX's mantissa is odd).
+    overflow_num = (1 << 2098) - (1 << 2044)  # (2^1024 - 2^970) * 2^1074
+    if v >= overflow_num:
+        return float("inf")
+    if v <= -overflow_num:
+        return float("-inf")
     return float(Fraction(v, 1 << 1074))
 
 

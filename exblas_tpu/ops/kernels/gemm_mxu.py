@@ -277,7 +277,8 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, yhi_out, ylo_out,
 @functools.partial(jax.jit, static_argnames=("sa", "sb"))
 def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, sa: int = 10, sb: int = 10):
     """C = A@B via the exact MXU slice path.  Caller must have verified
-    coverage (spread <= 8*sa-53 / 8*sb-53, no specials, beta == 0).
+    coverage (per-row/column mantissa-bit spread <= 8*sa for A and <= 8*sb
+    for B -- the slices hold 8 bits each -- and no specials, beta == 0).
 
     Returns (hi, lo) uint32 arrays of shape (m, n), bit-identical to the
     VPU/XLA exact paths.

@@ -112,9 +112,7 @@ def init_ill_cond(n: int, c: float, seed=0) -> np.ndarray:
 
     step = (b / 2.0) / max(n - n2, 1)
     e2 = step * np.arange(n - n2)
-    a[n2:] = (2.0 * rng.uniform(0.0, 1.0, n - n2) - 1.0) * np.exp2(
-        np.round(e2) * 0 + e2
-    )
+    a[n2:] = (2.0 * rng.uniform(0.0, 1.0, n - n2) - 1.0) * np.exp2(e2)
     return a
 
 

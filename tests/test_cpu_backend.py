@@ -50,3 +50,18 @@ def test_exsum_cpu_overflowing_fpe_path():
     rng = np.random.RandomState(6)
     x = rng.uniform(-1, 1, 5000) * np.exp2(rng.randint(-1000, 1000, 5000))
     assert_same_bits(exsum_cpu(x), exact_sum(x), "fpe-overflow")
+
+
+def test_exsum_cpu_fpe_overflow_near_dblmax():
+    # TwoSum of huge same-sign operands overflows fl(a+b) -> the FPE must be
+    # bypassed (exact limb deposit), not poisoned with NaN (ADVICE r1).
+    x = np.array([1e308, 1e308, -1e308, -1e308])
+    assert exsum_cpu(x) == 0.0
+    assert exsum_cpu(np.array([1.5e308, 1.5e308])) == np.inf
+    assert exsum_cpu(np.array([-1.5e308, -1.5e308])) == -np.inf
+    # exactly at the round-to-nearest overflow boundary 2^1024 - 2^970
+    dmax = np.finfo(np.float64).max
+    half_ulp = 2.0 ** 970
+    assert exsum_cpu(np.array([dmax, half_ulp])) == np.inf
+    # just below the boundary rounds back to DBL_MAX
+    assert exsum_cpu(np.array([dmax, half_ulp, -2.0 ** -1074])) == dmax
