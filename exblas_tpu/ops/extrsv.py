@@ -17,6 +17,15 @@ any block size / update order -- the reference's wavefront spin-sync
 (trsv_init / nextRow / wait_until_ge) is replaced by a sequential-in-
 dependency, parallel-in-row blocked sweep with no synchronization at all.
 
+Two implementations, bit-identical by construction:
+
+* ``impl="xla"`` -- the spec oracle: a sequential XLA fori sweep
+  (`_trsv_lower_jit`), runnable anywhere;
+* ``impl="pallas"`` -- the TPU hot path: one left-looking Pallas kernel
+  (kernels/trsv_kernel.py) solving 128-row diagonal blocks in-kernel with
+  VPU-wide rounding; ~62 ms device time at n=8192 (vs ~32 s for the XLA
+  sweep).
+
 fpe == 1 dispatches the non-reproducible control (reference DTRSV.*.cl).
 """
 
@@ -169,6 +178,37 @@ def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int,
     return (x_hi.astype(_U64) << _U64(32)) | x_lo.astype(_U64)
 
 
+@partial(jax.jit, static_argnames=("unit",))
+def _trsv_lower_pallas_jit(t_hi, t_lo, b_hi, b_lo, unit: bool):
+    """Full lower solve via the left-looking Pallas kernel (TPU hot path).
+
+    Pads n up to a multiple of 128 with an identity diagonal (padded rows
+    solve to x = 0 and deposit nothing), transposes T once (the kernel wants
+    solved-column-major blocks), and packs the kernel's (nblocks, 128) lane
+    layout back to (n,) u64 bits.  Bit-identical to :func:`_trsv_lower_jit`.
+    """
+    from .kernels.trsv_kernel import B, trsv_lower_x_pallas
+
+    n = b_hi.shape[0]
+    npad = -(-n // B) * B
+    nb = npad // B
+    t_hi = jnp.pad(t_hi, ((0, npad - n), (0, npad - n)))
+    t_lo = jnp.pad(t_lo, ((0, npad - n), (0, npad - n)))
+    if npad > n:
+        # identity on the padded diagonal (1.0 = hi 0x3FF00000)
+        ri = jax.lax.broadcasted_iota(_I32, (npad, npad), 0)
+        ci = jax.lax.broadcasted_iota(_I32, (npad, npad), 1)
+        on_pad_diag = jnp.logical_and(ri == ci, ri >= n)
+        t_hi = jnp.where(on_pad_diag, jnp.uint32(0x3FF00000), t_hi)
+    b_hi = jnp.pad(b_hi, (0, npad - n)).reshape(nb, B)
+    b_lo = jnp.pad(b_lo, (0, npad - n)).reshape(nb, B)
+
+    x_hi, x_lo = trsv_lower_x_pallas(t_hi.T, t_lo.T, b_hi, b_lo, unit=unit)
+    x_hi = x_hi.reshape(-1)[:n]
+    x_lo = x_lo.reshape(-1)[:n]
+    return (x_hi.astype(_U64) << _U64(32)) | x_lo.astype(_U64)
+
+
 def _choose_block(n: int) -> int:
     # 32 measures ~2x faster than 128 on v5e (smaller per-step deposits in
     # the sequential diagonal sweep); results are block-size invariant.
@@ -201,8 +241,13 @@ def extrsv_bits(uplo: str, trans: str, diag: str, a, b, fpe: int = 3,
 
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    bits = _trsv_lower_jit(ab.hi, ab.lo, bb.hi, bb.lo, diag == "U",
-                           _choose_block(n), impl)
+    if impl == "pallas" and n <= 16384:
+        bits = _trsv_lower_pallas_jit(ab.hi, ab.lo, bb.hi, bb.lo, diag == "U")
+    else:
+        # spec-oracle path (and fallback beyond the kernel's n cap)
+        xla_impl = "pallas" if impl == "pallas" else "xla"
+        bits = _trsv_lower_jit(ab.hi, ab.lo, bb.hi, bb.lo, diag == "U",
+                               _choose_block(n), xla_impl)
     if uplo == "U":
         bits = bits[::-1]
     return bits

@@ -1,0 +1,405 @@
+"""Pallas TPU kernel for ExTRSV: left-looking blocked substitution with an
+in-kernel sequential diagonal solve.
+
+The reference solves TRSV as a wavefront of workgroups synchronized through a
+global spin counter (reference ExTRSV.lnn.Superacc.cl:192-218 sync protocol,
+:261-347 main kernel).  On TPU the grid is sequential by construction, so the
+wavefront becomes a *left-looking* sweep with no synchronization at all:
+
+* grid (kb, kc), kc fastest; row-block kb's exact accumulators (one
+  216-limb superaccumulator per row, phase-split across 8 sublanes like the
+  ExGEMV kernel) are (re)built in VMEM scratch:
+  - kc == 0: reset + exact deposit of b;
+  - kc <  kb: exact deposit of the products -T[rows kb, cols kc] * x[kc]
+    (a GEMV chunk, identical math to gemv_kernel);
+  - kc == kb: the diagonal solve -- 128 sequential steps, each one VPU-wide:
+    canonicalize/round *all* 128 row accumulators (lanes) at once, select row
+    i, divide by t_ii (correctly-rounded u32 restoring division), record x_i,
+    and deposit the exact 106-bit products -t_ji * x_i for j > i.
+* solved x blocks persist in VMEM scratch across grid steps and feed later
+  chunks; x is also written to the output.
+
+Because every deposit is an exact integer and merging is integer addition,
+the result is bit-identical to the XLA reference path (ops/extrsv.py) for any
+block decomposition -- that path remains the spec oracle; this kernel is the
+performance implementation (n=8192 in well under a second vs ~32 s for the
+sequential XLA sweep).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core import deposit as dep
+from ...core.f64ops import f64_div_pair
+from ...core.rounding import ieee_encode_round_pair
+from ...core.types import DOT_FORMAT, L_DOT, LIMB_BITS, LIMB_MASK
+
+B = 128  # block size == VPU lanes
+L = L_DOT
+_I = jnp.int32
+_U = jnp.uint32
+_Z = _np.int32(0)
+
+RENORM_EVERY = 4  # chunk renorm cadence: 4 * (B/8) * 3 = 192 << 2^11 slack
+
+
+def _i(x):
+    return jax.lax.bitcast_convert_type(x, _I)
+
+
+def _u(x):
+    return jax.lax.bitcast_convert_type(x, _U)
+
+
+def _msb20(d):
+    """msb index of int32 d in [1, 2^20) via the exact f32-exponent trick."""
+    f = jnp.maximum(d, _I(1)).astype(jnp.float32)
+    return (
+        (jax.lax.bitcast_convert_type(f, _U) >> _U(23)).astype(_I) - _I(127)
+    )
+
+
+def _lsb20(d):
+    return _msb20(d & (-d))
+
+
+def _clip(x, lo, hi):
+    return jnp.minimum(jnp.maximum(x, _I(lo)), _I(hi))
+
+
+def _renorm8(acc_ref):
+    """Carry pass on the (L*8, 128) phase layout: carries move 8 rows up."""
+    a = acc_ref[...]
+    c = a >> LIMB_BITS
+    low = a - (c << LIMB_BITS)
+    c_up = pltpu.roll(c, shift=jnp.int32(8), axis=0)
+    row = jax.lax.broadcasted_iota(_I, c_up.shape, 0)
+    c_up = jnp.where(row < 8, _I(0), c_up)
+    acc_ref[...] = low + c_up
+
+
+def _lane_bcast(v, lane, i):
+    """Broadcast lane ``i`` of a (1, 128) u32 row to all lanes."""
+    sel = jnp.where(lane == i, _i(v), _I(0))
+    s = jnp.sum(sel, axis=1, keepdims=True, dtype=_I)
+    return _u(jnp.broadcast_to(s, (1, B)))
+
+
+def _deposit_chunk(acc, spec, a_hi, a_lo, x_hi, x_lo):
+    """Exact product deposits of a (B, B) block into the phase accumulator.
+
+    Same scheme as gemv_kernel._gemv_kernel: reduction index in sublanes,
+    output rows in lanes, per-class dynamic deposit windows, 8 k-phase
+    sub-accumulators per limb.
+    """
+    t = dep.product_terms(a_hi, a_lo, x_hi, x_lo, DOT_FORMAT.offset_bits)
+    q, r, s = t["q"], t["r"], t["s"]
+    big = _I(L + 8)
+    for k, cls in enumerate(t["classes"]):
+        pbit = r + _I(14 * k)
+        dq = pbit // _I(LIMB_BITS)
+        rr = pbit - dq * _I(LIMB_BITS)
+        p0, p1, p2 = dep.split_value30(cls.astype(_U), rr)
+        pieces = tuple(p.astype(_I) * s for p in (p0, p1, p2))
+        qk = q + dq
+        qmin = jnp.min(jnp.where(t["valid"], qk, big))
+        qmax = jnp.max(jnp.where(t["valid"], qk, _I(-1)))
+
+        def body(j, carry, qk=qk, pieces=pieces):
+            d = j - qk
+            contrib = jnp.where(d == 0, pieces[0], _I(0))
+            contrib = jnp.where(d == 1, pieces[1], contrib)
+            contrib = jnp.where(d == 2, pieces[2], contrib)
+            ph = jnp.sum(contrib.reshape(B // 8, 8, B), axis=0, dtype=_I)
+            acc[pl.ds(j * 8, 8), :] += ph
+            return carry
+
+        jax.lax.fori_loop(qmin, qmax + 3, body, _I(0))
+
+    spec[0:1, :] += jnp.sum(t["nan"], axis=0, keepdims=True, dtype=_I)
+    spec[1:2, :] += jnp.sum(t["pinf"], axis=0, keepdims=True, dtype=_I)
+    spec[2:3, :] += jnp.sum(t["ninf"], axis=0, keepdims=True, dtype=_I)
+
+
+def _round_dacc(dacc, spec):
+    """Correctly round all 128 lane accumulators of dacc (L, 128) at once.
+
+    Pass 1 canonicalizes (sequential carry chain over L limbs) *with
+    write-back* -- dacc limbs stay canonical, so per-step deposit growth can
+    never overflow -- while tracking, per lane: the leading-bit position of
+    the positive and of the negated digit stream, and the lowest set bit
+    (which yields the sticky exactly and lets the negated digits be
+    reconstructed pointwise in pass 2).  Pass 2 assembles the 55-bit leading
+    window over at most a handful of limbs.
+
+    Returns (hi32, lo32) of shape (1, 128).
+    """
+    def pass1(j, st):
+        carry, seen, p_pos, p_neg, q_lsb = st
+        row = dacc[pl.ds(j, 1), :]
+        d = row + carry
+        digit = d & _I(LIMB_MASK)
+        carry = (d - digit) >> _I(LIMB_BITS)
+        dacc[pl.ds(j, 1), :] = digit
+        nz = digit != 0
+        is_jq = jnp.logical_and(nz, seen == 0)
+        q_lsb = jnp.where(
+            is_jq, _I(LIMB_BITS) * j + _lsb20(digit), q_lsb)
+        nd = (digit ^ _I(LIMB_MASK)) + jnp.where(is_jq, _I(1), _I(0))
+        valid_nd = jnp.logical_and(
+            nd != 0, jnp.logical_or(seen != 0, is_jq))
+        p_neg = jnp.where(
+            valid_nd,
+            jnp.maximum(p_neg, _I(LIMB_BITS) * j + _msb20(nd)), p_neg)
+        p_pos = jnp.where(
+            nz, jnp.maximum(p_pos, _I(LIMB_BITS) * j + _msb20(digit)), p_pos)
+        seen = jnp.where(nz, _I(1), seen)
+        return carry, seen, p_pos, p_neg, q_lsb
+
+    zero_row = jnp.zeros((1, B), _I)
+    carry, _, p_pos, p_neg, q_lsb = jax.lax.fori_loop(
+        _I(0), _I(L), pass1,
+        (zero_row, zero_row, jnp.full((1, B), -1, _I),
+         jnp.full((1, B), -1, _I), jnp.full((1, B), L * LIMB_BITS + 99, _I)),
+    )
+    # Final carry is in {-1, 0} by format headroom; fold it into the top limb
+    # so dacc keeps representing the exact value (pass 2 masks it back out).
+    dacc[pl.ds(L - 1, 1), :] += carry << _I(LIMB_BITS)
+    negative = carry < 0
+
+    p_msb = jnp.where(negative, p_neg, p_pos)
+    pos_low = p_msb - _I(54)
+    jq = q_lsb // _I(LIMB_BITS)
+
+    j_lo = jnp.maximum(jnp.min(pos_low) // _I(LIMB_BITS), _I(0))
+    j_hi = jnp.max(p_msb) // _I(LIMB_BITS)
+
+    def pass2(j, st):
+        w_hi, w_lo = st
+        draw = dacc[pl.ds(j, 1), :] & _I(LIMB_MASK)
+        nd = (draw ^ _I(LIMB_MASK)) + jnp.where(jq == j, _I(1), _I(0))
+        nd = jnp.where(j < jq, _I(0), nd)
+        d = _u(jnp.where(negative, nd, draw))
+        s = _I(LIMB_BITS) * j - pos_low  # this limb's lsb lands at bit s
+        in_lo = jnp.logical_and(s > -20, s < 32)
+        in_hi = jnp.logical_and(s > 12, s < 55)
+        sh_l = _u(_clip(s, 0, 31)) & _U(31)
+        sh_nl = _u(_clip(-s, 0, 31)) & _U(31)
+        lo_part = jnp.where(s >= 0, d << sh_l, d >> sh_nl)
+        w_lo = jnp.where(in_lo, w_lo | lo_part, w_lo)
+        sh32 = _u(_clip(s - 32, 0, 31)) & _U(31)
+        sh32n = _u(_clip(32 - s, 0, 31)) & _U(31)
+        hi_part = jnp.where(s >= 32, d << sh32, d >> sh32n)
+        w_hi = jnp.where(in_hi, w_hi | hi_part, w_hi)
+        return w_hi, w_lo
+
+    w_hi, w_lo = jax.lax.fori_loop(
+        j_lo, j_hi + 1, pass2,
+        (jnp.zeros((1, B), _U), jnp.zeros((1, B), _U)),
+    )
+    sticky = q_lsb < pos_low
+    m55_hi = w_hi & _U(0x7FFFFF)
+    m55_lo = w_lo
+
+    sign = jnp.where(negative, _I(1), _I(0))
+    e_msb = p_msb - _I(DOT_FORMAT.offset_bits)
+    hi32, lo32 = ieee_encode_round_pair(sign, e_msb, m55_hi, m55_lo, sticky)
+
+    is_zero = p_msb < 0
+    hi32 = jnp.where(is_zero, _U(0), hi32)
+    lo32 = jnp.where(is_zero, _U(0), lo32)
+
+    nan_c = spec[0:1, :]
+    pos_c = spec[1:2, :]
+    neg_c = spec[2:3, :]
+    is_nan = jnp.logical_or(nan_c > 0, jnp.logical_and(pos_c > 0, neg_c > 0))
+    hi32 = jnp.where(neg_c > 0, _U(0xFFF00000), hi32)
+    lo32 = jnp.where(neg_c > 0, _U(0), lo32)
+    hi32 = jnp.where(pos_c > 0, _U(0x7FF00000), hi32)
+    lo32 = jnp.where(pos_c > 0, _U(0), lo32)
+    hi32 = jnp.where(is_nan, _U(0x7FF80000), hi32)
+    lo32 = jnp.where(is_nan, _U(0), lo32)
+    return hi32, lo32
+
+
+def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
+                 x_hi_out, x_lo_out,
+                 acc, spec, dacc, xsub_hi, xsub_lo, *, unit: bool):
+    kb = pl.program_id(0)
+    kc = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(_I, (1, B), 1)
+    lane_b = jax.lax.broadcasted_iota(_I, (B, B), 1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        spec[...] = jnp.zeros_like(spec)
+        # Seed the row accumulators with b (exact sum-term deposit).
+        t = dep.sum_terms(b_hi_ref[pl.ds(kb, 1), :],
+                          b_lo_ref[pl.ds(kb, 1), :],
+                          DOT_FORMAT.offset_bits)
+        q = t["q"]
+        big = _I(L + 8)
+        qmin = jnp.min(jnp.where(t["valid"], q, big))
+        qmax = jnp.max(jnp.where(t["valid"], q, _I(-1)))
+        pieces = t["pieces"]
+
+        def body(w, carry):
+            d = w - q
+            contrib = jnp.where(d == 0, pieces[0], _I(0))
+            contrib = jnp.where(d == 1, pieces[1], contrib)
+            contrib = jnp.where(d == 2, pieces[2], contrib)
+            contrib = jnp.where(d == 3, pieces[3], contrib)
+            acc[pl.ds(w * 8, 1), :] += contrib
+            return carry
+
+        jax.lax.fori_loop(qmin, qmax + 4, body, _I(0))
+        spec[0:1, :] += t["nan"]
+        spec[1:2, :] += t["pinf"]
+        spec[2:3, :] += t["ninf"]
+
+    @pl.when(kc < kb)
+    def _():
+        # GEMV chunk: deposit -T[rows kb, cols kc] * x[kc].  tt block is
+        # T^T[(kc), (kb)] = reduction index (solved column) in sublanes,
+        # output row in lanes.
+        xs_h = _u(jnp.broadcast_to(jnp.sum(
+            jnp.where(lane_b == kc, _i(xsub_hi[...]), _I(0)),
+            axis=1, keepdims=True, dtype=_I), (B, B)))
+        xs_l = _u(jnp.broadcast_to(jnp.sum(
+            jnp.where(lane_b == kc, _i(xsub_lo[...]), _I(0)),
+            axis=1, keepdims=True, dtype=_I), (B, B)))
+        a_hi = tt_hi_ref[...] ^ _U(0x80000000)
+        a_lo = tt_lo_ref[...]
+        _deposit_chunk(acc, spec, a_hi, a_lo, xs_h, xs_l)
+
+        @pl.when(jnp.bitwise_and(kc + 1, _I(RENORM_EVERY - 1)) == 0)
+        def _():
+            _renorm8(acc)
+
+    @pl.when(kc == kb)
+    def _():
+        _renorm8(acc)
+
+        # Merge the 8 k-phases into the (L, 128) solve accumulator.
+        def merge(j, carry):
+            dacc[pl.ds(j, 1), :] = jnp.sum(
+                acc[pl.ds(j * 8, 8), :], axis=0, keepdims=True, dtype=_I)
+            return carry
+
+        jax.lax.fori_loop(_I(0), _I(L), merge, _I(0))
+
+        def step(i, xb):
+            xb_hi, xb_lo = xb
+            num_hi, num_lo = _round_dacc(dacc, spec)
+            num_hi = _lane_bcast(num_hi, lane, i)
+            num_lo = _lane_bcast(num_lo, lane, i)
+            tcol_hi = tt_hi_ref[pl.ds(i, 1), :]  # T[base+j, base+i], j lanes
+            tcol_lo = tt_lo_ref[pl.ds(i, 1), :]
+            if unit:
+                xq_hi, xq_lo = num_hi, num_lo
+            else:
+                den_hi = _lane_bcast(tcol_hi, lane, i)
+                den_lo = _lane_bcast(tcol_lo, lane, i)
+                xq_hi, xq_lo = f64_div_pair(num_hi, num_lo, den_hi, den_lo)
+            xb_hi = jnp.where(lane == i, xq_hi, xb_hi)
+            xb_lo = jnp.where(lane == i, xq_lo, xb_lo)
+            # Publish x_i into the cross-block scratch (row i, lane kb).
+            xsub_hi[pl.ds(i, 1), :] = jnp.where(
+                lane == kb, xq_hi, xsub_hi[pl.ds(i, 1), :])
+            xsub_lo[pl.ds(i, 1), :] = jnp.where(
+                lane == kb, xq_lo, xsub_lo[pl.ds(i, 1), :])
+
+            # Deposit -t_ji * x_i for j > i (exact 106-bit products).
+            m = lane > i
+            a_hi = jnp.where(m, tcol_hi ^ _U(0x80000000), _U(0))
+            a_lo = jnp.where(m, tcol_lo, _U(0))
+            t = dep.product_terms(a_hi, a_lo, xq_hi, xq_lo,
+                                  DOT_FORMAT.offset_bits)
+            q, r, s = t["q"], t["r"], t["s"]
+            big = _I(L + 8)
+            for k, cls in enumerate(t["classes"]):
+                pbit = r + _I(14 * k)
+                dq = pbit // _I(LIMB_BITS)
+                rr = pbit - dq * _I(LIMB_BITS)
+                p0, p1, p2 = dep.split_value30(cls.astype(_U), rr)
+                pieces = tuple(p.astype(_I) * s for p in (p0, p1, p2))
+                qk = q + dq
+                qmin = jnp.min(jnp.where(t["valid"], qk, big))
+                qmax = jnp.max(jnp.where(t["valid"], qk, _I(-1)))
+
+                def body(w, carry, qk=qk, pieces=pieces):
+                    d = w - qk
+                    contrib = jnp.where(d == 0, pieces[0], _I(0))
+                    contrib = jnp.where(d == 1, pieces[1], contrib)
+                    contrib = jnp.where(d == 2, pieces[2], contrib)
+                    dacc[pl.ds(w, 1), :] += contrib
+                    return carry
+
+                jax.lax.fori_loop(qmin, qmax + 3, body, _I(0))
+            spec[0:1, :] += t["nan"]
+            spec[1:2, :] += t["pinf"]
+            spec[2:3, :] += t["ninf"]
+            return xb_hi, xb_lo
+
+        xb_hi, xb_lo = jax.lax.fori_loop(
+            _I(0), _I(B), step,
+            (jnp.zeros((1, B), _U), jnp.zeros((1, B), _U)))
+        x_hi_out[pl.ds(kb, 1), :] = xb_hi
+        x_lo_out[pl.ds(kb, 1), :] = xb_lo
+
+
+@functools.partial(jax.jit, static_argnames=("unit",))
+def trsv_lower_x_pallas(tt_hi, tt_lo, b_hi, b_lo, unit: bool = False):
+    """Solve lower-triangular T x = b on TPU; returns x bits.
+
+    tt: (n, n) bit pair of T^T (column-major T) with n a multiple of 128 and
+    the padded diagonal set to 1.0; b: (nblocks, 128) bit pair.
+    Returns (x_hi, x_lo) uint32 of shape (nblocks, 128).
+
+    Requires nblocks <= 128 (n <= 16384): solved x blocks are staged in a
+    (128, 128) VMEM scratch, one lane per block.
+    """
+    n = tt_hi.shape[0]
+    assert n % B == 0 and n // B <= B
+    nblocks = n // B
+
+    grid = (nblocks, nblocks)
+    return pl.pallas_call(
+        functools.partial(_trsv_kernel, unit=unit),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, B), lambda kb, kc: (kc, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda kb, kc: (kc, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblocks, B), lambda kb, kc: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblocks, B), lambda kb, kc: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nblocks, B), lambda kb, kc: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblocks, B), lambda kb, kc: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, B), jnp.uint32),
+            jax.ShapeDtypeStruct((nblocks, B), jnp.uint32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((L * 8, B), jnp.int32),   # phase accumulator
+            pltpu.VMEM((8, B), jnp.int32),       # special counters
+            pltpu.VMEM((L, B), jnp.int32),       # solve accumulator
+            pltpu.VMEM((B, B), jnp.uint32),      # solved x, hi words
+            pltpu.VMEM((B, B), jnp.uint32),      # solved x, lo words
+        ],
+    )(tt_hi, tt_lo, b_hi, b_lo)

@@ -109,3 +109,20 @@ def test_extrsv_errors():
         xb.extrsv("L", "N", "N", a, b[:3])
     with pytest.raises(ValueError):
         xb.extrsv("L", "N", "N", a, b, fpe=11)
+
+
+def test_extrsv_pallas_kernel_interpret():
+    """The left-looking Pallas kernel (kernels/trsv_kernel.py), run in
+    Pallas TPU *interpret* mode on CPU, must be bit-identical to the XLA
+    spec path -- n=200 pads to 2 blocks of 128, exercising the seed,
+    GEMV-chunk, diagonal-solve, and padding branches in one (slow,
+    interpreted) run."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    for n, seed in ((200, 104),):
+        a = xb.init_fpuniform_tr_matrix("L", "N", n, 12, -6, seed=seed)
+        b = xb.init_fpuniform(n, 12, -6, seed=seed + 10)
+        want = xb.extrsv("L", "N", "N", a, b, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got = xb.extrsv("L", "N", "N", a, b, impl="pallas")
+        assert_bits_equal(got, want, f"pallas-interpret n={n}")

@@ -57,3 +57,50 @@ def test_gemv_pallas_matches_xla():
     got = xb.exgemv("N", 1.0, a, x, impl="pallas")
     want = xb.exgemv("N", 1.0, a, x, impl="xla")
     assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+# ---------------------------------------------------------------------------
+# ExTRSV Pallas kernel (left-looking blocked substitution)
+# ---------------------------------------------------------------------------
+
+def _trsv_case(uplo, trans, diag, n, emax, emin, seed):
+    import exblas_tpu as xb
+    a = xb.init_fpuniform_tr_matrix(
+        "U" if (uplo == "U") ^ (trans == "T") else "L",
+        diag, n, emax, emin, seed=seed)
+    if trans == "T":
+        a = a.T
+    b = xb.init_fpuniform(n, emax, emin, seed=seed + 1)
+    got = xb.extrsv(uplo, trans, diag, a, b, impl="pallas")
+    want = xb.extrsv(uplo, trans, diag, a, b, impl="xla")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+@pytest.mark.parametrize("uplo,trans,diag", [
+    ("L", "N", "N"), ("L", "N", "U"), ("U", "N", "N"), ("L", "T", "N"),
+])
+def test_trsv_pallas_matches_xla_variants(uplo, trans, diag):
+    _trsv_case(uplo, trans, diag, 300, 8, 0, seed=20)
+
+
+def test_trsv_pallas_wide_dynamic_range():
+    _trsv_case("L", "N", "N", 256, 60, -60, seed=30)
+
+
+def test_trsv_pallas_specials_and_subnormals():
+    import exblas_tpu as xb
+    n = 256
+    rng = np.random.RandomState(31)
+    a = np.tril(rng.uniform(-1, 1, (n, n)))
+    np.fill_diagonal(a, rng.uniform(1, 2, n))
+    a[50, 3] = 5e-324
+    a[10, 10] = 0.0           # divide by zero -> inf, then inf propagation
+    b = rng.uniform(-1, 1, n)
+    b[5] = 2.0 ** -1074
+    b[3] = np.nan
+    b[60] = np.inf
+    got = xb.extrsv("L", "N", "N", a, b, impl="pallas")
+    want = xb.extrsv("L", "N", "N", a, b, impl="xla")
+    gb = got.view(np.uint64)
+    wb = want.view(np.uint64)
+    assert (gb == wb).all()
