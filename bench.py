@@ -27,23 +27,30 @@ def main():
     import jax.numpy as jnp
     import exblas_tpu as xb
     from exblas_tpu.core.ieee import split_f64
-    from exblas_tpu.ops.kernels.gemm_mxu import gemm_bits_mxu
+    from exblas_tpu.ops.exgemm import _gemm_bits_auto
+    from exblas_tpu.ops.exgemv import _scalar_bits
     from exblas_tpu.utils.bench_utils import amortized_seconds
 
     n = 4096
     a = xb.init_fpuniform_matrix(n, n, 10, 0, seed=1)
     b = xb.init_fpuniform_matrix(n, n, 10, 0, seed=2)
-    ab, bb = split_f64(a), split_f64(b)
-    args = tuple(jax.device_put(v) for v in (ab.hi, ab.lo, bb.hi, bb.lo))
+    c = xb.init_fpuniform_matrix(n, n, 10, 0, seed=3)
+    ab, bb, cb = split_f64(a), split_f64(b), split_f64(c)
+    one_h, one_l = _scalar_bits(1.0)
+    args = tuple(jax.device_put(v) for v in
+                 (ab.hi, ab.lo, bb.hi, bb.lo, cb.hi, cb.lo))
 
+    # Reference default semantics C += A@B (ExGEMM.Superacc.cl:338) through
+    # the fully jittable auto dispatch (MXU slice ladder + special override).
     def mk_ex(R):
         @jax.jit
-        def f(ah, al, bh, bl):
+        def f(ah, al, bh, bl, ch, cl):
             def body(state, it):
-                hi, lo = gemm_bits_mxu(ah, al ^ (it & jnp.uint32(1)),
-                                       bh, bl, sa=8, sb=8)
-                return state ^ hi[0, 0], None
-            out, _ = jax.lax.scan(body, jnp.uint32(0),
+                bits = _gemm_bits_auto(ah, al ^ (it & jnp.uint32(1)),
+                                       bh, bl, one_h, one_l, one_h, one_l,
+                                       ch, cl, "one")
+                return state ^ bits[0, 0], None
+            out, _ = jax.lax.scan(body, jnp.uint64(0),
                                   jnp.arange(R, dtype=jnp.uint32))
             return out
         return f
@@ -52,22 +59,23 @@ def main():
 
     ad = jax.device_put(jnp.asarray(a))
     bd = jax.device_put(jnp.asarray(b))
+    cd = jax.device_put(jnp.asarray(c))
 
     def mk_base(R):
         @jax.jit
-        def f(ad, bd):
+        def f(ad, bd, cd):
             def body(state, it):
-                r = ad @ (bd + state * 0)
+                r = cd + ad @ (bd + state * 0)
                 return state + r[0, 0], None
             out, _ = jax.lax.scan(body, jnp.float64(0),
                                   jnp.arange(R, dtype=jnp.int32))
             return out
         return f
 
-    t_base = amortized_seconds(mk_base, (ad, bd), R=3, reps=2)
+    t_base = amortized_seconds(mk_base, (ad, bd, cd), R=3, reps=2)
 
     print(json.dumps({
-        "metric": "exgemm_n4096_tflops_exact_reproducible",
+        "metric": "exgemm_n4096_beta1_tflops_exact_reproducible",
         "value": round(2 * n ** 3 / t_ex / 1e12, 3),
         "unit": "TFLOP-equiv/s",
         "vs_baseline": round(t_ex / t_base, 3),

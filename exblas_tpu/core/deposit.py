@@ -90,8 +90,13 @@ def sum_terms(hi, lo, offset_bits):
 
     # Significand LSB exponent E = max(expfield,1) - 1075; bit position
     # p = E + offset_bits >= 0 by construction of the accumulator format.
+    # (offset_bits may be a per-element array for anchored/relative
+    # accumulators; deposits that would land below bit 0 are dropped --
+    # callers guarantee coverage before dispatching such data.)
     e = jnp.maximum(expfield, 1) - _I(1075)
     p = e + _I(offset_bits)
+    valid = jnp.logical_and(valid, p >= 0)
+    p = jnp.where(valid, p, _I(0))
     q = p // _I(LIMB_BITS)
     r = p - q * _I(LIMB_BITS)
 
@@ -195,6 +200,10 @@ def product_terms(hi_a, lo_a, hi_b, lo_b, offset_bits):
     e_a = jnp.maximum(exp_a, 1) - _I(1075)
     e_b = jnp.maximum(exp_b, 1) - _I(1075)
     p = e_a + e_b + _I(offset_bits)  # >= 0 for dot format
+    # offset_bits may be per-element (relative accumulators); drop deposits
+    # below bit 0 -- coverage is the caller's contract.
+    valid = jnp.logical_and(valid, p >= 0)
+    p = jnp.where(valid, p, _I(0))
     q = p // _I(LIMB_BITS)
     r = p - q * _I(LIMB_BITS)
 

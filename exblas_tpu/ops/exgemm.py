@@ -112,6 +112,174 @@ def _validate_fpe(fpe: int):
         raise ValueError(f"exgemm: fpe must be in [0, 8], got {fpe}")
 
 
+# ---------------------------------------------------------------------------
+# Jittable auto dispatch: MXU slice ladder with device-resident coverage
+# ---------------------------------------------------------------------------
+
+_MXU_LADDER = (8, 12, 16)  # slice counts; spread <= 8*sa selects a rung
+
+
+def _decode_indicators(hi, lo):
+    from ..core.ieee import decode_fields
+
+    sign, expf, mhi, mlo = decode_fields(hi, lo)
+    zero, inf, nan = dep.classify(expf, mhi, mlo)
+    fin = jnp.logical_not(jnp.logical_or(zero,
+                                         jnp.logical_or(inf, nan)))
+    pos = sign == 0
+    return dict(
+        zero=zero, nan=nan,
+        pinf=jnp.logical_and(inf, pos),
+        ninf=jnp.logical_and(inf, jnp.logical_not(pos)),
+        finp=jnp.logical_and(fin, pos),
+        finn=jnp.logical_and(fin, jnp.logical_not(pos)),
+    )
+
+
+def _special_masks_matmul(z_hi, z_lo, b_hi, b_lo):
+    """Per-output-element special verdicts via f32 indicator matmuls.
+
+    Returns bool (m, n) arrays (nan_pairs, pinf_pairs, ninf_pairs) matching
+    the special-counting semantics of dep.product_terms / round_rows (only
+    count > 0 matters, so overlap overcounting is harmless).  Counts stay
+    exact in f32 for k < 2^24.
+    """
+    A = _decode_indicators(z_hi, z_lo)
+    B = _decode_indicators(b_hi, b_lo)
+    f = lambda x: x.astype(jnp.float32)  # noqa: E731
+    mm = lambda x, y: jnp.dot(f(x), f(y),  # noqa: E731
+                              preferred_element_type=jnp.float32)
+    inf_a = jnp.logical_or(A["pinf"], A["ninf"])
+    inf_b = jnp.logical_or(B["pinf"], B["ninf"])
+    nan_c = (jnp.sum(f(A["nan"]), axis=1, keepdims=True)
+             + jnp.sum(f(B["nan"]), axis=0, keepdims=True)
+             + mm(inf_a, B["zero"]) + mm(A["zero"], inf_b))
+    posb = jnp.logical_or(B["finp"], B["pinf"])
+    negb = jnp.logical_or(B["finn"], B["ninf"])
+    pinf_c = (mm(A["pinf"], posb) + mm(A["ninf"], negb)
+              + mm(A["finp"], B["pinf"]) + mm(A["finn"], B["ninf"]))
+    ninf_c = (mm(A["pinf"], negb) + mm(A["ninf"], posb)
+              + mm(A["finp"], B["ninf"]) + mm(A["finn"], B["pinf"]))
+    return nan_c > 0, pinf_c > 0, ninf_c > 0
+
+
+def _mxu_c_cover(c_hi, c_lo, beta_hi, beta_lo, ea0, fb0, sa: int, sb: int):
+    """Device bool: every finite nonzero beta*c product fits the relative
+    accumulator window [anchor - 8(sa+sb), anchor + MXU_BETA_HEAD]."""
+    from ..core.ieee import decode_fields
+    from .kernels.gemm_mxu import MXU_BETA_HEAD
+
+    _, expf_c, mhi_c, mlo_c = decode_fields(c_hi, c_lo)
+    zero_c, inf_c, nan_c = dep.classify(expf_c, mhi_c, mlo_c)
+    _, expf_b, mhi_b, mlo_b = decode_fields(beta_hi, beta_lo)
+    zero_b, inf_b, nan_b = dep.classify(expf_b, mhi_b, mlo_b)
+
+    e_lsb_c = jnp.maximum(expf_c, 1) - jnp.int32(1075)
+    e_lsb_b = jnp.maximum(expf_b, 1) - jnp.int32(1075)
+    # msb(beta*c) <= msb(beta) + msb(c) + 1 <= (e_lsb + 52 each) + 1
+    e_msb = e_lsb_b + e_lsb_c + jnp.int32(106)
+    e_lsb = e_lsb_b + e_lsb_c
+
+    e_base = ea0[:, None] + fb0[None, :] + jnp.int32(2)
+    rel0 = jnp.int32(8 * (sa + sb))
+    valid = jnp.logical_not(jnp.logical_or(
+        jnp.logical_or(zero_c, expf_c == 0x7FF),
+        jnp.logical_or(zero_b, expf_b == 0x7FF)))
+    lo_ok = e_lsb + rel0 - e_base >= 0
+    hi_ok = e_msb - e_base <= jnp.int32(MXU_BETA_HEAD)
+    ok = jnp.logical_or(jnp.logical_not(valid),
+                        jnp.logical_and(lo_ok, hi_ok))
+    return jnp.all(ok)
+
+
+def _beta_c_special_flags(c_hi, c_lo, beta_hi, beta_lo):
+    """Elementwise (nan, pinf, ninf) bools of the beta*c term."""
+    t = dep.product_terms(
+        jnp.broadcast_to(beta_hi, c_hi.shape),
+        jnp.broadcast_to(beta_lo, c_lo.shape), c_hi, c_lo, 0)
+    return t["nan"] > 0, t["pinf"] > 0, t["ninf"] > 0
+
+
+@partial(jax.jit, static_argnames=("beta_mode",))
+def _gemm_bits_auto(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo,
+                    beta_hi, beta_lo, c_hi, c_lo, beta_mode: str):
+    """One jit: coverage analysis on-device, lax.switch over the MXU slice
+    ladder with exact VPU fallback, per-element special override.  No host
+    round trips; bit-identical across all branches by construction."""
+    from .kernels.gemm_mxu import analyze_gemm_operands, gemm_bits_mxu
+    from .kernels.gemm_kernel import gemm_bits_pallas
+    from ..core.rounding import QNAN_BITS, NINF_BITS, PINF_BITS
+
+    zbits = f64_mul(jnp.broadcast_to(alpha_hi, a_hi.shape),
+                    jnp.broadcast_to(alpha_lo, a_lo.shape), a_hi, a_lo)
+    z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
+    z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    ea, fb, spread, has_special_zb = analyze_gemm_operands(
+        z_hi, z_lo, b_hi, b_lo)
+    ea0 = jnp.where(ea < -9000, jnp.int32(0), ea)
+    fb0 = jnp.where(fb < -9000, jnp.int32(0), fb)
+
+    if beta_mode != "zero":
+        covers = [
+            _mxu_c_cover(c_hi, c_lo, beta_hi, beta_lo, ea0, fb0, sa, sa)
+            for sa in _MXU_LADDER
+        ]
+        c_nan, c_pinf, c_ninf = _beta_c_special_flags(
+            c_hi, c_lo, beta_hi, beta_lo)
+        has_special_c = jnp.logical_or(
+            jnp.any(c_nan), jnp.logical_or(jnp.any(c_pinf),
+                                           jnp.any(c_ninf)))
+    else:
+        covers = [jnp.bool_(True)] * len(_MXU_LADDER)
+        c_nan = c_pinf = c_ninf = jnp.zeros(c_hi.shape, jnp.bool_)
+        has_special_c = jnp.bool_(False)
+
+    def mxu_branch(sa):
+        def f():
+            hi, lo = gemm_bits_mxu(z_hi, z_lo, b_hi, b_lo, c_hi, c_lo,
+                                   beta_hi, beta_lo, beta_mode,
+                                   sa=sa, sb=sa)
+            return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
+        return f
+
+    def vpu_branch():
+        hi, lo = gemm_bits_pallas(z_hi, z_lo, b_hi, b_lo, c_hi, c_lo,
+                                  beta_hi, beta_lo, beta_mode)
+        return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
+
+    idx = jnp.int32(len(_MXU_LADDER))  # default: VPU
+    for rung, (sa, cov) in reversed(list(enumerate(zip(_MXU_LADDER,
+                                                       covers)))):
+        ok = jnp.logical_and(spread <= 8 * sa, cov)
+        idx = jnp.where(ok, jnp.int32(rung), idx)
+
+    bits = jax.lax.switch(
+        idx, [mxu_branch(sa) for sa in _MXU_LADDER] + [vpu_branch])
+
+    # Per-element special override for the MXU branches (the VPU kernel
+    # handles specials natively).  Matmul-based pair counts run only when
+    # specials are actually present.
+    any_special = jnp.logical_or(has_special_zb, has_special_c)
+
+    def apply_override(bits):
+        nan_p, pinf_p, ninf_p = _special_masks_matmul(z_hi, z_lo,
+                                                      b_hi, b_lo)
+        nan_m = jnp.logical_or(nan_p, c_nan)
+        pos_m = jnp.logical_or(pinf_p, c_pinf)
+        neg_m = jnp.logical_or(ninf_p, c_ninf)
+        is_nan = jnp.logical_or(nan_m, jnp.logical_and(pos_m, neg_m))
+        out = jnp.where(neg_m, NINF_BITS, bits)
+        out = jnp.where(pos_m, PINF_BITS, out)
+        out = jnp.where(is_nan, QNAN_BITS, out)
+        return out
+
+    bits = jax.lax.cond(
+        jnp.logical_and(any_special, idx < len(_MXU_LADDER)),
+        apply_override, lambda b: b, bits)
+    return bits
+
+
 def exgemm_bits(transa: str, transb: str, alpha: float, a, b,
                 beta: float = 1.0, c=None, fpe: int = 3,
                 early_exit: bool = False, impl: str | None = None):
@@ -140,53 +308,18 @@ def exgemm_bits(transa: str, transb: str, alpha: float, a, b,
     ah, al = _scalar_bits(alpha)
     bh, bl = _scalar_bits(beta)
 
-    if impl is None and jax.default_backend() == "tpu":
-        impl = "mxu" if beta_mode == "zero" else "pallas"
-    elif impl is None:
-        impl = "xla"
+    if impl is None:
+        impl = "mxu" if jax.default_backend() == "tpu" else "xla"
 
     if impl == "mxu":
-        bits = _try_gemm_mxu(ab, bb, ah, al, beta_mode)
-        if bits is not None:
-            return bits
-        impl = "pallas"  # not coverable: exact VPU fallback, same bits
+        # Fully jittable auto path: on-device coverage analysis selects a
+        # slice-count rung or the exact VPU fallback via lax.switch; no
+        # host round trips (all branches produce identical bits).
+        return _gemm_bits_auto(ab.hi, ab.lo, bb.hi, bb.lo, ah, al, bh, bl,
+                               cb.hi, cb.lo, beta_mode)
 
     return _gemm_bits_jit(ab.hi, ab.lo, bb.hi, bb.lo, ah, al, bh, bl,
                           cb.hi, cb.lo, impl, beta_mode)
-
-
-@partial(jax.jit, static_argnames=())
-def _mxu_precheck(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo):
-    from .kernels.gemm_mxu import analyze_gemm_operands
-
-    zbits = f64_mul(jnp.broadcast_to(alpha_hi, a_hi.shape),
-                    jnp.broadcast_to(alpha_lo, a_lo.shape), a_hi, a_lo)
-    z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
-    z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
-    _, _, spread, has_special = analyze_gemm_operands(z_hi, z_lo, b_hi, b_lo)
-    return z_hi, z_lo, spread, has_special
-
-
-def _try_gemm_mxu(ab, bb, ah, al, beta_mode):
-    """Dispatch the exact MXU slice path when the data is coverable.
-
-    Returns bits (m, n) uint64, or None to fall back (wide dynamic range
-    within a row/column, special values, or beta != 0)."""
-    if beta_mode != "zero":
-        return None
-    from .kernels.gemm_mxu import gemm_bits_mxu
-
-    z_hi, z_lo, spread, has_special = _mxu_precheck(
-        ab.hi, ab.lo, bb.hi, bb.lo, ah, al)
-    spread = int(spread)  # = max(anchor - lsb + 1); covered iff <= 8*slices
-    if bool(has_special):
-        return None
-    n_slices = max(8, -(-spread // 8))
-    if n_slices > 16:
-        return None
-    hi, lo = gemm_bits_mxu(z_hi, z_lo, bb.hi, bb.lo,
-                           sa=n_slices, sb=n_slices)
-    return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
 
 
 def exgemm(transa: str, transb: str, alpha: float, a, b, beta: float = 1.0,

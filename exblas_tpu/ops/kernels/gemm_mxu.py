@@ -37,6 +37,7 @@ import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...core import deposit as dep
 from ...core.ieee import decode_fields
 from ...core.rounding import ieee_encode_round_pair
 from ...core.types import LIMB_BITS, LIMB_MASK
@@ -234,13 +235,50 @@ def _renorm_rel(acc):
     acc[...] = low + c_up
 
 
-def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, yhi_out, ylo_out,
-                acc, dig, *, sa, sb, l_rel, rel0):
+def _deposit_beta_c_rel(acc, c_hi, c_lo, bb_hi, bb_lo, e_base, rel0, l_rel):
+    """Deposit the exact 106-bit products beta*c into the relative
+    accumulator: element (i, j)'s bit 0 sits at absolute exponent
+    e_base_ij - rel0, so the deposit offset is per-element (rel0 - e_base).
+    Coverage (checked by the dispatcher) guarantees every product fits
+    within [0, l_rel*20) relative bits."""
+    t = dep.product_terms(bb_hi, bb_lo, c_hi, c_lo, _I(rel0) - e_base)
+    q, r, s = t["q"], t["r"], t["s"]
+    big = _I(l_rel + 8)
+    for k, cls in enumerate(t["classes"]):
+        pbit = r + _I(14 * k)
+        dq = pbit // _I(LIMB_BITS)
+        rr = pbit - dq * _I(LIMB_BITS)
+        p0, p1, p2 = dep.split_value30(cls.astype(_U), rr)
+        pieces = tuple(p.astype(_I) * s for p in (p0, p1, p2))
+        qk = q + dq
+        qmin = jnp.min(jnp.where(t["valid"], qk, big))
+        qmax = jnp.max(jnp.where(t["valid"], qk, _I(-1)))
+
+        def body(w, carry, qk=qk, pieces=pieces):
+            d = w - qk
+            contrib = jnp.where(d == 0, pieces[0], _I(0))
+            contrib = jnp.where(d == 1, pieces[1], contrib)
+            contrib = jnp.where(d == 2, pieces[2], contrib)
+            acc[pl.ds(w * LANES, LANES), :] += contrib
+            return carry
+
+        jax.lax.fori_loop(qmin, qmax + 3, body, _I(0))
+
+
+def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
+                bb_hi_ref, bb_lo_ref, yhi_out, ylo_out,
+                acc, dig, *, sa, sb, l_rel, rel0, beta_mode):
     kt_i = pl.program_id(2)
 
     @pl.when(kt_i == 0)
     def _():
         acc[...] = jnp.zeros_like(acc)
+        if beta_mode != "zero":
+            e_base = e_ref[...] + f_ref[0:1, :] + _I(2)
+            bb_h = jnp.broadcast_to(bb_hi_ref[...], (LANES, LANES))
+            bb_l = jnp.broadcast_to(bb_lo_ref[...], (LANES, LANES))
+            _deposit_beta_c_rel(acc, c_hi_ref[...], c_lo_ref[...],
+                                bb_h, bb_l, e_base, rel0, l_rel)
 
     for s in range(sa):
         a_s = a_sl_ref[s]          # (128, KT) bf16
@@ -274,11 +312,34 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, yhi_out, ylo_out,
         ylo_out[...] = lo32
 
 
-@functools.partial(jax.jit, static_argnames=("sa", "sb"))
-def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, sa: int = 10, sb: int = 10):
-    """C = A@B via the exact MXU slice path.  Caller must have verified
-    coverage (per-row/column mantissa-bit spread <= 8*sa for A and <= 8*sb
-    for B -- the slices hold 8 bits each -- and no specials, beta == 0).
+def mxu_l_rel(sa: int, sb: int, beta_mode: str) -> int:
+    """Relative-accumulator depth (limbs) for a slice configuration.
+
+    Slice-pair deposits land in [rel0 - 8(sa+sb) - 16, rel0 + 8]; beta*C
+    products may additionally reach up to ~MXU_BETA_HEAD bits above the
+    anchor (coverage-checked by the dispatcher), so the beta modes carry
+    three extra limbs of headroom."""
+    rel0 = 8 * (sa + sb)
+    l_rel = (rel0 - 16 + 24) // LIMB_BITS + 2
+    if beta_mode != "zero":
+        l_rel += 3
+    return l_rel
+
+
+# Bits of headroom above the anchor that beta*C products may occupy (the
+# three extra limbs minus two limbs' carry slack).
+MXU_BETA_HEAD = 36
+
+
+@functools.partial(jax.jit, static_argnames=("sa", "sb", "beta_mode"))
+def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
+                  beta_hi=None, beta_lo=None, beta_mode: str = "zero",
+                  sa: int = 10, sb: int = 10):
+    """C = beta*C + A@B via the exact MXU slice path.  Caller must have
+    verified coverage: per-row/column mantissa-bit spread <= 8*sa for A and
+    <= 8*sb for B (the slices hold 8 bits each), no specials, and -- for
+    beta modes -- every beta*c product within [anchor - 8(sa+sb),
+    anchor + MXU_BETA_HEAD] bits (see exgemm._mxu_coverage).
 
     Returns (hi, lo) uint32 arrays of shape (m, n), bit-identical to the
     VPU/XLA exact paths.
@@ -292,6 +353,16 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, sa: int = 10, sb: int = 10):
     a_lo = jnp.pad(a_lo, ((0, m_pad - m), (0, k_pad - k)))
     b_hi = jnp.pad(b_hi, ((0, k_pad - k), (0, n_pad - n)))
     b_lo = jnp.pad(b_lo, ((0, k_pad - k), (0, n_pad - n)))
+    if beta_mode == "zero":
+        c_hi = jnp.zeros((m_pad, n_pad), jnp.uint32)
+        c_lo = jnp.zeros((m_pad, n_pad), jnp.uint32)
+        beta_hi = jnp.uint32(0)
+        beta_lo = jnp.uint32(0)
+    else:
+        c_hi = jnp.pad(c_hi, ((0, m_pad - m), (0, n_pad - n)))
+        c_lo = jnp.pad(c_lo, ((0, m_pad - m), (0, n_pad - n)))
+    bb_h = jnp.broadcast_to(beta_hi, (1, LANES))
+    bb_l = jnp.broadcast_to(beta_lo, (1, LANES))
 
     ea, fb, _, _ = analyze_gemm_operands(a_hi, a_lo, b_hi, b_lo)
     ea = jnp.where(ea < -9000, _I(0), ea)  # all-zero rows: anchor irrelevant
@@ -301,14 +372,14 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, sa: int = 10, sb: int = 10):
     b_sl = make_slices(b_hi, b_lo, fb, sb, axis=1)   # (sb, k, n) bf16
 
     rel0 = 8 * (sa + sb)
-    l_rel = (rel0 - 16 + 24) // LIMB_BITS + 2
+    l_rel = mxu_l_rel(sa, sb, beta_mode)
 
     e_b = jnp.broadcast_to(ea[:, None], (m_pad, LANES))      # (m, 128)
     f_b = jnp.broadcast_to(fb[None, :], (8, n_pad))          # (8, n)
 
     hi, lo = pl.pallas_call(
         functools.partial(_mxu_kernel, sa=sa, sb=sb, l_rel=l_rel,
-                          rel0=rel0),
+                          rel0=rel0, beta_mode=beta_mode),
         grid=(m_pad // LANES, n_pad // LANES, k_pad // KT),
         in_specs=[
             pl.BlockSpec((sa, LANES, KT), lambda i, j, kt: (_Z, i, kt),
@@ -318,6 +389,14 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, sa: int = 10, sb: int = 10):
             pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, _Z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LANES), lambda i, j, kt: (_Z, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, j, kt: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, j, kt: (_Z, _Z),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -334,5 +413,5 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, sa: int = 10, sb: int = 10):
             pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
             pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
         ],
-    )(a_sl, b_sl, e_b, f_b)
+    )(a_sl, b_sl, e_b, f_b, c_hi, c_lo, bb_h, bb_l)
     return hi[:m, :n], lo[:m, :n]

@@ -94,3 +94,44 @@ def test_exgemm_fpe1_baseline():
     b = xb.init_fpuniform_matrix(6, 6, 5, 0, seed=83)
     base = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, fpe=1)
     assert np.allclose(base, a @ b, rtol=1e-6)
+
+
+def test_exgemm_mxu_auto_interpret():
+    """The jittable auto dispatch (MXU slice ladder + VPU fallback +
+    special override), run in Pallas interpret mode on CPU, must be
+    bit-identical to the XLA path for every beta mode and for specials."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(0)
+    m = k = n = 128
+    a = xb.init_fpuniform_matrix(m, k, 10, 0, seed=61)
+    b = xb.init_fpuniform_matrix(k, n, 10, 0, seed=62)
+    c = xb.init_fpuniform_matrix(m, n, 12, -3, seed=63) * np.where(
+        rng.rand(m, n) < 0.5, -1, 1)
+    for beta in (0.0, 1.0, -0.75):
+        want = xb.exgemm("N", "N", 1.0, a, b, beta=beta,
+                         c=c if beta else None, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got = xb.exgemm("N", "N", 1.0, a, b, beta=beta,
+                            c=c if beta else None, impl="mxu")
+        assert (got.view(np.uint64) == want.view(np.uint64)).all(), beta
+
+
+def test_exgemm_mxu_auto_specials_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = k = n = 128
+    a = xb.init_fpuniform_matrix(m, k, 10, 0, seed=64)
+    b = xb.init_fpuniform_matrix(k, n, 10, 0, seed=65)
+    c = xb.init_fpuniform_matrix(m, n, 10, 0, seed=66)
+    a[3, 5] = np.nan
+    a[10, 0] = np.inf
+    b[7, 20] = -np.inf
+    b[0, 64] = 0.0
+    c[50, 50] = np.inf
+    c[60, 60] = np.nan
+    want = xb.exgemm("N", "N", 1.0, a, b, beta=1.0, c=c, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = xb.exgemm("N", "N", 1.0, a, b, beta=1.0, c=c, impl="mxu")
+    gb, wb = got.view(np.uint64), want.view(np.uint64)
+    assert (gb == wb).all()

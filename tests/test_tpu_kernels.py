@@ -104,3 +104,76 @@ def test_trsv_pallas_specials_and_subnormals():
     gb = got.view(np.uint64)
     wb = want.view(np.uint64)
     assert (gb == wb).all()
+
+
+# ---------------------------------------------------------------------------
+# MXU GEMM: beta modes, specials, auto dispatch (jittable lax.switch ladder)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("beta", [0.0, 1.0, 2.5])
+def test_gemm_mxu_beta_matches_vpu(beta):
+    import exblas_tpu as xb
+    rng = np.random.RandomState(40)
+    m = k = n = 256
+    a = xb.init_fpuniform_matrix(m, k, 10, 0, seed=41)
+    b = xb.init_fpuniform_matrix(k, n, 10, 0, seed=42)
+    c = xb.init_fpuniform_matrix(m, n, 12, -3, seed=43) * np.where(
+        rng.rand(m, n) < 0.5, -1, 1)
+    mxu = xb.exgemm("N", "N", 1.0, a, b, beta=beta,
+                    c=c if beta else None, impl="mxu")
+    vpu = xb.exgemm("N", "N", 1.0, a, b, beta=beta,
+                    c=c if beta else None, impl="pallas")
+    assert (mxu.view(np.uint64) == vpu.view(np.uint64)).all()
+
+
+def test_gemm_mxu_specials_override():
+    import exblas_tpu as xb
+    m = k = n = 256
+    a = xb.init_fpuniform_matrix(m, k, 10, 0, seed=44)
+    b = xb.init_fpuniform_matrix(k, n, 10, 0, seed=45)
+    c = xb.init_fpuniform_matrix(m, n, 10, 0, seed=46)
+    a[3, 5] = np.nan
+    a[10, 0] = np.inf
+    b[7, 20] = -np.inf
+    b[0, 64] = 0.0
+    c[50, 50] = np.inf
+    c[60, 60] = np.nan
+    mxu = xb.exgemm("N", "N", 1.0, a, b, beta=1.0, c=c, impl="mxu")
+    vpu = xb.exgemm("N", "N", 1.0, a, b, beta=1.0, c=c, impl="pallas")
+    assert (mxu.view(np.uint64) == vpu.view(np.uint64)).all()
+
+
+def test_gemm_mxu_wide_spread_falls_back_same_bits():
+    import exblas_tpu as xb
+    m = k = n = 256
+    a = xb.init_fpuniform_matrix(m, k, 200, 0, seed=47)
+    b = xb.init_fpuniform_matrix(k, n, 10, 0, seed=48)
+    mxu = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="mxu")
+    vpu = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="pallas")
+    assert (mxu.view(np.uint64) == vpu.view(np.uint64)).all()
+
+
+def test_exgemm_auto_is_jittable():
+    """The whole auto dispatch must trace under user jit -- no host syncs."""
+    import jax
+    import jax.numpy as jnp
+    import exblas_tpu as xb
+    from exblas_tpu.core.ieee import split_f64
+    from exblas_tpu.ops.exgemm import _gemm_bits_auto
+    from exblas_tpu.ops.exgemv import _scalar_bits
+
+    m = k = n = 256
+    a = xb.init_fpuniform_matrix(m, k, 10, 0, seed=49)
+    b = xb.init_fpuniform_matrix(k, n, 10, 0, seed=50)
+    ab, bb = split_f64(a), split_f64(b)
+    ah, al = _scalar_bits(1.0)
+    zh = jnp.zeros((m, n), jnp.uint32)
+
+    @jax.jit
+    def f(a_hi, a_lo, b_hi, b_lo):
+        return _gemm_bits_auto(a_hi, a_lo, b_hi, b_lo, ah, al, ah, al,
+                               zh, zh, "zero")
+
+    got = np.asarray(f(ab.hi, ab.lo, bb.hi, bb.lo)).view(np.float64)
+    want = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="pallas")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
