@@ -36,7 +36,8 @@ def _default_impl() -> str:
 
 
 def _variant_rows(fpe: int, early_exit: bool) -> int:
-    base = {0: 16, 1: 16, 2: 8, 3: 16, 4: 24, 5: 32, 6: 40, 7: 48, 8: 56}
+    base = {0: 64, 1: 64, 2: 32, 3: 256, 4: 96, 5: 128, 6: 160, 7: 192,
+            8: 320}
     r = base[int(fpe)]
     return r * 2 if early_exit else r
 
@@ -56,6 +57,12 @@ def _exdot_acc_jit(hi_a, lo_a, hi_b, lo_b, impl: str, rows: int) -> Superacc:
 @partial(jax.jit, static_argnames=("impl", "rows"))
 def _exdot_bits_jit(hi_a, lo_a, hi_b, lo_b, impl: str, rows: int):
     # Fused accumulate + round (eager epilogues pay per-op host round trips).
+    if impl == "pallas":
+        # rounding runs in-kernel too: the XLA epilogue's tiny-tensor ops
+        # otherwise dominate the streaming kernel
+        from .kernels.dot_kernel import exdot_bits_pallas
+
+        return exdot_bits_pallas(hi_a, lo_a, hi_b, lo_b, rows=rows)
     return round_superacc_to_f64_bits(
         _exdot_acc_jit(hi_a, lo_a, hi_b, lo_b, impl, rows)
     )

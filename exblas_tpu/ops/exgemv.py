@@ -141,12 +141,12 @@ def _validate_fpe(fpe: int):
 
 
 def _variant_rows(fpe: int, early_exit: bool) -> int:
-    # k_rows * RENORM_EVERY is bounded by limb carry slack:
-    # 4 * (k_rows/8) * 3 * 2^20 must stay < 2^31  =>  k_rows <= 1360.
-    base = {0: 256, 1: 256, 2: 128, 3: 256, 4: 320, 5: 384, 6: 448,
-            7: 512, 8: 640}
+    # k_rows * RENORM_EVERY bounded by limb carry slack (see gemv_kernel):
+    # 2 * (k_rows/8) * 21 * 2^20 < 2^31 - 2^21  =>  k_rows <= 384.
+    base = {0: 128, 1: 128, 2: 64, 3: 256, 4: 96, 5: 160, 6: 192,
+            7: 320, 8: 384}
     r = base[int(fpe)]
-    return r * 2 if early_exit else r
+    return min(384, r * 2) if early_exit else r
 
 
 def exgemv_bits(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,

@@ -45,7 +45,10 @@ def _default_impl() -> str:
 # fpe/early_exit -> kernel tiling variant (rows per grid step).  Different
 # variants exercise different decompositions; results are bit-identical.
 def _variant_rows(fpe: int, early_exit: bool) -> int:
-    base = {0: 32, 1: 32, 2: 16, 3: 24, 4: 32, 5: 40, 6: 48, 7: 56, 8: 64}
+    # multiples of the kernel's 32-row subgroup; capped so limb growth
+    # between carry passes stays inside int32 slack (sum_kernel bound)
+    base = {0: 96, 1: 96, 2: 32, 3: 512, 4: 64, 5: 160, 6: 224, 7: 288,
+            8: 480}
     r = base[int(fpe)]
     return r * 2 if early_exit else r
 
@@ -66,6 +69,13 @@ def _exsum_acc_jit(hi, lo, impl: str, rows: int) -> Superacc:
 def _exsum_bits_jit(hi, lo, impl: str, rows: int):
     # One fused jit for accumulate + round: eager epilogues are catastrophic
     # on remote TPUs (each tiny op pays a full host round trip).
+    if impl == "pallas":
+        # fully fused kernel: the correctly-rounded conversion runs
+        # in-kernel too (the XLA rounding epilogue's tiny-tensor ops
+        # otherwise dominate the streaming kernel's runtime)
+        from .kernels.sum_kernel import exsum_bits_pallas
+
+        return exsum_bits_pallas(hi, lo, rows=rows)
     return round_superacc_to_f64_bits(_exsum_acc_jit(hi, lo, impl, rows))
 
 

@@ -4,12 +4,19 @@ Replaces the reference's TwoProductFMA + FPE tail-insertion scheme
 (reference ExDOT.FPE.cl:226-270) with an exact integer path: each product
 ``a[i]*b[i]`` is formed as seven 30-bit "shift classes" from 14-bit mantissa
 pieces (an exact 106-bit schoolbook product -- the TPU has no fp64 FMA at
-all), and each class is deposited into the dot-format accumulator via the
-same windowed branch-free loop as ExSUM.
+all).  The classes are then combined *directly* into seven 20-bit limb
+digit planes positioned at the product's base limb (static funnel shifts;
+the per-element intra-limb offset r is folded into the shifts), so one
+windowed pass over the block's distinct base limbs deposits everything --
+no per-class scatter loops.
 
 The accumulator covers the full product range down to 2^-2148, so products
 that underflow double precision are kept exactly -- stronger than the
 reference (whose TwoProdFMA residual silently underflows).
+
+Deposits use the 8-phase layout (limb j in rows 8j..8j+8): every
+accumulator access is an aligned (8, 128) add.  NaN/Inf are counted in a
+side pass that runs only when the block actually contains specials.
 """
 
 from __future__ import annotations
@@ -24,22 +31,171 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core import deposit as dep
 from ...core.accumulator import to_int32_limbs
-from ...core.types import L_DOT, DOT_FORMAT, LIMB_BITS, Superacc
-from .sum_kernel import LANES, deposit_block, renorm_ref
+from ...core.types import L_DOT, DOT_FORMAT, LIMB_BITS, LIMB_MASK, Superacc
+from .sum_kernel import LANES, _renorm8
 
 _I = jnp.int32
+_U = jnp.uint32
 _Z = _np.int32(0)
 
-# Up to ~3 overlapping class pieces land on one limb per element, so the
-# per-element per-limb deposit magnitude is < 3 * 2^20 < 2^22; with rows=R
-# and renorm every RENORM_EVERY steps the growth R*RENORM_EVERY*2^22 must
-# stay < 2^31 - 2^21.
+N_PLANES = 7  # (106 product bits + 19 offset bits) / 20 -> 7 digit planes
+
+# A limb row receives at most min(N_PLANES, window) planes per block, each a
+# phase sum of rows/8 digits < 2^20 (digit sums of <= 3 class pieces stay
+# < 3 * 2^20 before masking... conservatively bound by 3 * 2^20):
+# growth <= RENORM_EVERY * (rows/8) * 7 * 3 * 2^20 must stay < 2^31 - 2^21.
 RENORM_EVERY = 2
-MAX_ROWS_X_RENORM = 1 << (31 - LIMB_BITS - 3)
+MAX_ROWS_X_RENORM = 640
+
+
+def _mask_specials(hi, lo):
+    """Decode one operand stream: (his, expf, mhi, mlo, special) with the
+    mantissa of specials masked to zero (their flags are counted in a
+    separate rare pass)."""
+    his = jax.lax.bitcast_convert_type(hi, _I)
+    expf = (his >> _I(20)) & _I(0x7FF)
+    special = expf == _I(0x7FF)
+    mhi = (his & _I(0xFFFFF)) | (jnp.minimum(expf, _I(1)) << _I(20))
+    mhi = jnp.where(special, _I(0), mhi)
+    mlo = jnp.where(special, _I(0), jax.lax.bitcast_convert_type(lo, _I))
+    return his, expf, mhi, mlo, special
+
+
+def _pieces14(mhi, mlo):
+    """53-bit significand -> four 14-bit pieces (LSB first), int32."""
+    p0 = mlo & _I(0x3FFF)
+    p1 = (mlo >> _I(14)) & _I(0x3FFF)
+    p2 = ((jax.lax.bitcast_convert_type(mlo, _U) >> _U(28)).astype(_I)
+          | (mhi << _I(4))) & _I(0x3FFF)
+    p3 = (mhi >> _I(10)) & _I(0x3FFF)
+    return p0, p1, p2, p3
+
+
+def _digit_planes(classes, r):
+    """Combine the 7 shift classes into 7 signed-magnitude 20-bit digit
+    planes of the product's bit image shifted left by r (r in [0, 20)).
+
+    Class k occupies bits [14k + r, 14k + r + 30); digit plane j collects
+    bits [20j, 20j + 20).  All shift offsets c = 14k - 20j are static, so
+    each (j, k) contribution is a couple of shifts plus at most one guard
+    select; digits are *redundant* (< 3 * 2^20, carries resolved by the
+    accumulator's renorm passes), so no carry propagation is needed here.
+    """
+    ru = jax.lax.bitcast_convert_type(r, _U)
+    m20 = _U(LIMB_MASK)
+    cls_u = [jax.lax.bitcast_convert_type(c, _U) for c in classes]
+    planes = []
+    for j in range(N_PLANES):
+        acc = None
+        for k in range(N_PLANES):
+            c = 14 * k - 20 * j
+            # contribution exists iff s = c + r can fall in (-30, 20)
+            if c + 19 <= -30 or c >= 20:
+                continue
+            cu = cls_u[k]
+            if c >= 0:
+                # s in [c, c+20) >= 0; s <= c+19 <= 38: guard s >= 32 when
+                # possible (wrapping shift would alias)
+                part = cu << ((ru + _U(c % (1 << 32))) & _U(31))
+                if c + 19 >= 32:
+                    part = jnp.where(r >= _I(32 - c), _U(0), part)
+            elif c <= -20:
+                # s in [c, c+20) < 0 always; -s in (-c-20, -c], -c <= 48
+                part = cu >> ((_U(-c) - ru) & _U(31))
+                if -c >= 32:
+                    part = jnp.where(r <= _I(-c - 32), _U(0), part)
+            else:
+                # sign straddles zero within the r range
+                left = cu << ((ru + _U(c % (1 << 32))) & _U(31))
+                right = cu >> ((_U(-c) - ru) & _U(31))
+                part = jnp.where(r >= _I(-c), left, right)
+            part = part & m20
+            acc = part if acc is None else acc + part
+        planes.append(jax.lax.bitcast_convert_type(acc, _I))
+    return planes
+
+
+def _dot_decode(hi_a, lo_a, hi_b, lo_b):
+    """Full product decomposition: (q, planes, bvalid, any_special_flag).
+
+    q: base limb index of the product.  planes: 7 signed int32 digit
+    planes (plane j deposits at limb q + j).  Zeros/specials produce zero
+    planes; bvalid excludes them from window bounds.
+    """
+    his_a, expf_a, mhi_a, mlo_a, spec_a = _mask_specials(hi_a, lo_a)
+    his_b, expf_b, mhi_b, mlo_b, spec_b = _mask_specials(hi_b, lo_b)
+
+    a = _pieces14(mhi_a, mlo_a)
+    b = _pieces14(mhi_b, mlo_b)
+    classes = []
+    for k in range(N_PLANES):
+        acc = None
+        for i in range(4):
+            j = k - i
+            if 0 <= j < 4:
+                term = a[i] * b[j]  # < 2^28
+                acc = term if acc is None else acc + term
+        classes.append(acc)  # < 2^30
+
+    p = (jnp.maximum(expf_a, _I(1)) + jnp.maximum(expf_b, _I(1))
+         + _I(DOT_FORMAT.offset_bits - 2 * 1075))
+    q = p // _I(LIMB_BITS)
+    r = p - q * _I(LIMB_BITS)
+
+    planes_u = _digit_planes(classes, r)
+    m = (his_a ^ his_b) >> _I(31)
+    planes = tuple((x ^ m) - m for x in planes_u)
+
+    nz_a = (mhi_a | mlo_a) != 0
+    nz_b = (mhi_b | mlo_b) != 0
+    bvalid = jnp.logical_and(nz_a, nz_b)
+    special = jnp.logical_or(spec_a, spec_b)
+    # zero * nonzero products: planes are zero already (classes are zero)
+    return q, planes, bvalid, special
+
+
+def _count_specials(spec, hi_a, lo_a, hi_b, lo_b):
+    """Rare path: per-lane NaN/+Inf/-Inf product counts for the block,
+    matching dep.product_terms semantics exactly."""
+    t = dep.product_terms(hi_a, lo_a, hi_b, lo_b,
+                          DOT_FORMAT.offset_bits)
+    spec[0:1, :] += jnp.sum(t["nan"], axis=0, keepdims=True, dtype=_I)
+    spec[1:2, :] += jnp.sum(t["pinf"], axis=0, keepdims=True, dtype=_I)
+    spec[2:3, :] += jnp.sum(t["ninf"], axis=0, keepdims=True, dtype=_I)
+
+
+def _dot_deposit(acc, q, planes, bvalid, group):
+    big = _I(L_DOT + 8)
+    qmin = jnp.min(jnp.where(bvalid, q, big))
+    qmax = jnp.max(jnp.where(bvalid, q, _I(-1)))
+
+    def body(v, carry):
+        mask = q == v
+        for t, plane in enumerate(planes):
+            sel = jnp.where(mask, plane, _I(0))
+            ph = jnp.sum(sel.reshape(group, 8, LANES), axis=0, dtype=_I)
+            acc[pl.ds((v + _I(t)) * 8, 8), :] += ph
+        return carry
+
+    jax.lax.fori_loop(qmin, qmax + 1, body, _I(0))
+
+
+def _dot_block(hi_a, lo_a, hi_b, lo_b, acc, spec, rows):
+    """Decode + deposit one (rows, 128) block of products (arrays, not
+    refs -- callers may pre-transform, e.g. ExTRSV negates one operand)."""
+    group = rows // 8
+    q, planes, bvalid, special = _dot_decode(hi_a, lo_a, hi_b, lo_b)
+    _dot_deposit(acc, q, planes, bvalid, group)
+
+    any_special = jnp.max(jnp.where(special, _I(1), _I(0)))
+
+    @pl.when(any_special > 0)
+    def _():
+        _count_specials(spec, hi_a, lo_a, hi_b, lo_b)
 
 
 def _dot_kernel(hi_a_ref, lo_a_ref, hi_b_ref, lo_b_ref,
-                limb_out, spec_out, acc, spec):
+                limb_out, spec_out, acc, spec, *, rows):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -47,50 +203,23 @@ def _dot_kernel(hi_a_ref, lo_a_ref, hi_b_ref, lo_b_ref,
         acc[...] = jnp.zeros_like(acc)
         spec[...] = jnp.zeros_like(spec)
 
-    t = dep.product_terms(
-        hi_a_ref[...], lo_a_ref[...], hi_b_ref[...], lo_b_ref[...],
-        DOT_FORMAT.offset_bits,
-    )
-    q, r, s = t["q"], t["r"], t["s"]
-    # shared window bounds: class k's base limb q+dq_k is within
-    # [q + 14k//20, q + 14k//20 + 1], so two cross-lane reductions serve
-    # all seven classes (instead of two per class)
-    big = _I(L_DOT + 8)
-    qmin0 = jnp.min(jnp.where(t["valid"], q, big))
-    qmax0 = jnp.max(jnp.where(t["valid"], q, _I(-1)))
-    for k, cls in enumerate(t["classes"]):
-        pbit = r + _I(14 * k)
-        dq = pbit // _I(LIMB_BITS)
-        rr = pbit - dq * _I(LIMB_BITS)
-        p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
-        pieces = tuple(p.astype(_I) * s for p in (p0, p1, p2))
-        a_k = 14 * k // 20
-        deposit_block(acc, q + dq, pieces, t["valid"], L_DOT,
-                      bounds=(qmin0 + _I(a_k), qmax0 + _I(a_k + 1)))
-
-    counts = jnp.stack(
-        [jnp.sum(t["nan"], axis=0, dtype=_I),
-         jnp.sum(t["pinf"], axis=0, dtype=_I),
-         jnp.sum(t["ninf"], axis=0, dtype=_I)]
-        + [jnp.zeros((LANES,), _I)] * 5
-    )
-    spec[...] += counts
+    _dot_block(hi_a_ref[...], lo_a_ref[...], hi_b_ref[...],
+               lo_b_ref[...], acc, spec, rows)
 
     @pl.when(jnp.bitwise_and(i + 1, _I(RENORM_EVERY - 1)) == 0)
     def _():
-        renorm_ref(acc)
+        _renorm8(acc)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        renorm_ref(acc)
-        limb_out[...] = acc[...]
+        _renorm8(acc)
+        for j in range(L_DOT):
+            limb_out[j:j + 1, :] = jnp.sum(
+                acc[8 * j:8 * j + 8, :], axis=0, keepdims=True, dtype=_I)
         spec_out[...] = spec[...]
 
 
-@functools.partial(jax.jit, static_argnames=("rows",))
-def exdot_pallas(hi_a, lo_a, hi_b, lo_b, rows: int = 64) -> Superacc:
-    """Exact dot product of doubles given as uint32 bit pairs -> Superacc."""
-    assert rows % 8 == 0 and rows * RENORM_EVERY <= MAX_ROWS_X_RENORM
+def _prep_blocks(hi_a, lo_a, hi_b, lo_b, rows):
     arrs = [x.reshape(-1) for x in (hi_a, lo_a, hi_b, lo_b)]
     n = arrs[0].shape[0]
     per_block = rows * LANES
@@ -99,10 +228,17 @@ def exdot_pallas(hi_a, lo_a, hi_b, lo_b, rows: int = 64) -> Superacc:
     pad = nblocks * per_block - n
     if pad:
         arrs = [jnp.pad(x, (0, pad)) for x in arrs]  # 0*0 deposits nothing
-    arrs = [x.reshape(-1, LANES) for x in arrs]
+    return [x.reshape(-1, LANES) for x in arrs], nblocks
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def exdot_pallas(hi_a, lo_a, hi_b, lo_b, rows: int = 256) -> Superacc:
+    """Exact dot product of doubles given as uint32 bit pairs -> Superacc."""
+    assert rows % 8 == 0 and rows * RENORM_EVERY <= MAX_ROWS_X_RENORM
+    arrs, nblocks = _prep_blocks(hi_a, lo_a, hi_b, lo_b, rows)
 
     limbs_lanes, spec_lanes = pl.pallas_call(
-        _dot_kernel,
+        functools.partial(_dot_kernel, rows=rows),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((rows, LANES), lambda i: (i, _Z),
                                memory_space=pltpu.VMEM)] * 4,
@@ -117,7 +253,7 @@ def exdot_pallas(hi_a, lo_a, hi_b, lo_b, rows: int = 64) -> Superacc:
             jax.ShapeDtypeStruct((8, LANES), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((L_DOT, LANES), jnp.int32),
+            pltpu.VMEM((L_DOT * 8, LANES), jnp.int32),
             pltpu.VMEM((8, LANES), jnp.int32),
         ],
     )(*arrs)
@@ -129,3 +265,66 @@ def exdot_pallas(hi_a, lo_a, hi_b, lo_b, rows: int = 64) -> Superacc:
         special=special.astype(jnp.int32),
         fmt=DOT_FORMAT,
     )
+
+
+def _dot_round_tail(acc, spec, dacc):
+    """Phase+lane merge and correctly-rounded conversion in-kernel."""
+    from .round_in_kernel import round_lanes_acc
+
+    for j in range(L_DOT):
+        row = jnp.sum(acc[8 * j:8 * j + 8, :], axis=0, keepdims=True,
+                      dtype=_I)
+        tot = jnp.sum(row, axis=1, keepdims=True, dtype=_I)
+        dacc[j:j + 1, :] = jnp.broadcast_to(tot, (1, LANES))
+    sp_tot = jnp.sum(spec[0:3, :], axis=1, keepdims=True, dtype=_I)
+    sp_b = jnp.broadcast_to(sp_tot, (3, LANES))
+    return round_lanes_acc(dacc, sp_b, L_DOT, DOT_FORMAT.offset_bits)
+
+
+def _dot_bits_kernel(hi_a_ref, lo_a_ref, hi_b_ref, lo_b_ref,
+                     bits_out, acc, spec, dacc, *, rows):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        spec[...] = jnp.zeros_like(spec)
+
+    _dot_block(hi_a_ref[...], lo_a_ref[...], hi_b_ref[...],
+               lo_b_ref[...], acc, spec, rows)
+
+    @pl.when(jnp.bitwise_and(i + 1, _I(RENORM_EVERY - 1)) == 0)
+    def _():
+        _renorm8(acc)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        _renorm8(acc)
+        hi32, lo32 = _dot_round_tail(acc, spec, dacc)
+        bits_out[0:1, :] = hi32
+        bits_out[1:2, :] = lo32
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def exdot_bits_pallas(hi_a, lo_a, hi_b, lo_b, rows: int = 256):
+    """Fully fused exact dot: deposits, merges, and the correctly-rounded
+    conversion in one kernel.  Returns uint64 bits (scalar)."""
+    assert rows % 8 == 0 and rows * RENORM_EVERY <= MAX_ROWS_X_RENORM
+    arrs, nblocks = _prep_blocks(hi_a, lo_a, hi_b, lo_b, rows)
+
+    out = pl.pallas_call(
+        functools.partial(_dot_bits_kernel, rows=rows),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((rows, LANES), lambda i: (i, _Z),
+                               memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((8, LANES), lambda i: (_Z, _Z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((L_DOT * 8, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.VMEM((L_DOT, LANES), jnp.int32),
+        ],
+    )(*arrs)
+    return (out[0, 0].astype(jnp.uint64) << jnp.uint64(32)) | out[
+        1, 0].astype(jnp.uint64)

@@ -34,7 +34,7 @@ LANES = 128
 _I = jnp.int32
 _Z = _np.int32(0)
 
-RENORM_EVERY = 4
+RENORM_EVERY = 2  # dot-style deposits: 7 planes/limb per block
 
 
 def _renorm8(acc_ref):
@@ -50,6 +50,8 @@ def _renorm8(acc_ref):
 
 def _gemv_kernel(at_hi_ref, at_lo_ref, z_hi_ref, z_lo_ref,
                  limb_out, spec_out, acc, spec, *, k_rows):
+    from .dot_kernel import _dot_block
+
     ik = pl.program_id(1)
 
     @pl.when(ik == 0)
@@ -57,43 +59,10 @@ def _gemv_kernel(at_hi_ref, at_lo_ref, z_hi_ref, z_lo_ref,
         acc[...] = jnp.zeros_like(acc)
         spec[...] = jnp.zeros_like(spec)
 
-    t = dep.product_terms(
-        at_hi_ref[...], at_lo_ref[...], z_hi_ref[...], z_lo_ref[...],
-        DOT_FORMAT.offset_bits,
-    )
-    q, r, s = t["q"], t["r"], t["s"]
-    big = _I(L_DOT + 8)
-    # NB: per-class tight windows; shared (wider) bounds measured slower here
-    # because this loop body is heavy (k-phase reduction per iteration).
-    for k, cls in enumerate(t["classes"]):
-        pbit = r + _I(14 * k)
-        dq = pbit // _I(LIMB_BITS)
-        rr = pbit - dq * _I(LIMB_BITS)
-        p0, p1, p2 = dep.split_value30(cls.astype(jnp.uint32), rr)
-        pieces = tuple(p.astype(_I) * s for p in (p0, p1, p2))
-        qk = q + dq
-        qmin = jnp.min(jnp.where(t["valid"], qk, big))
-        qmax = jnp.max(jnp.where(t["valid"], qk, _I(-1)))
-
-        def body(j, carry, qk=qk, pieces=pieces):
-            d = j - qk
-            contrib = jnp.where(d == 0, pieces[0], _I(0))
-            contrib = jnp.where(d == 1, pieces[1], contrib)
-            contrib = jnp.where(d == 2, pieces[2], contrib)
-            ph = jnp.sum(contrib.reshape(k_rows // 8, 8, LANES), axis=0,
-                         dtype=_I)  # (8, 128) k-phase partial sums
-            acc[pl.ds(j * 8, 8), :] += ph
-            return carry
-
-        jax.lax.fori_loop(qmin, qmax + 3, body, _I(0))
-
-    counts = jnp.stack(
-        [jnp.sum(t["nan"], axis=0, dtype=_I),
-         jnp.sum(t["pinf"], axis=0, dtype=_I),
-         jnp.sum(t["ninf"], axis=0, dtype=_I)]
-        + [jnp.zeros((LANES,), _I)] * 5
-    )
-    spec[...] += counts
+    # The per-(row, k) products decompose exactly like ExDOT's: reuse its
+    # digit-plane decode + distinct-base-limb windowed deposit.
+    _dot_block(at_hi_ref[...], at_lo_ref[...], z_hi_ref[...], z_lo_ref[...],
+               acc, spec, k_rows)
 
     @pl.when(jnp.bitwise_and(ik + 1, _I(RENORM_EVERY - 1)) == 0)
     def _():
@@ -117,9 +86,9 @@ def gemv_rows_acc_pallas(a_hi, a_lo, z_hi, z_lo, k_rows: int = 256):
     Returns (limbs int64 (m, L_DOT), special int32 (m, 3)).
     """
     # overflow safety: limb growth between renorms is bounded by
-    # RENORM_EVERY * (k_rows/8) * 3 * 2^20, which must stay < 2^31 - 2^21,
-    # i.e. RENORM_EVERY * (k_rows/8) * 3 < 2^11 - 2.
-    assert k_rows % 8 == 0 and RENORM_EVERY * (k_rows // 8) * 3 < 2046
+    # RENORM_EVERY * (k_rows/8) * 21 * 2^20 (7 digit planes of < 3*2^20),
+    # which must stay < 2^31 - 2^21.
+    assert k_rows % 8 == 0 and RENORM_EVERY * (k_rows // 8) * 21 < 2046
     m, n = a_hi.shape
     m_pad = -(-m // LANES) * LANES
     n_pad = -(-n // k_rows) * k_rows

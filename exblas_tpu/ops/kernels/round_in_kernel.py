@@ -146,3 +146,107 @@ def _u(x):
 
 def _clip(x, lo, hi):
     return jnp.minimum(jnp.maximum(x, _I(lo)), _I(hi))
+
+def _lsb20(d):
+    return _msb20(d & (-d))
+
+
+def round_lanes_acc(dacc, spec, n_limbs, offset_bits):
+    """Correctly round all 128 lane accumulators of dacc (L, 128) at once.
+
+    Pass 1 canonicalizes (sequential carry chain over L limbs) *with
+    write-back* -- dacc limbs stay canonical, so per-step deposit growth can
+    never overflow -- while tracking, per lane: the leading-bit position of
+    the positive and of the negated digit stream, and the lowest set bit
+    (which yields the sticky exactly and lets the negated digits be
+    reconstructed pointwise in pass 2).  Pass 2 assembles the 55-bit leading
+    window over at most a handful of limbs.
+
+    Returns (hi32, lo32) of shape (1, 128).
+    """
+    def pass1(j, st):
+        carry, seen, p_pos, p_neg, q_lsb = st
+        row = dacc[pl.ds(j, 1), :]
+        d = row + carry
+        digit = d & _I(LIMB_MASK)
+        carry = (d - digit) >> _I(LIMB_BITS)
+        dacc[pl.ds(j, 1), :] = digit
+        nz = digit != 0
+        is_jq = jnp.logical_and(nz, seen == 0)
+        q_lsb = jnp.where(
+            is_jq, _I(LIMB_BITS) * j + _lsb20(digit), q_lsb)
+        nd = (digit ^ _I(LIMB_MASK)) + jnp.where(is_jq, _I(1), _I(0))
+        valid_nd = jnp.logical_and(
+            nd != 0, jnp.logical_or(seen != 0, is_jq))
+        p_neg = jnp.where(
+            valid_nd,
+            jnp.maximum(p_neg, _I(LIMB_BITS) * j + _msb20(nd)), p_neg)
+        p_pos = jnp.where(
+            nz, jnp.maximum(p_pos, _I(LIMB_BITS) * j + _msb20(digit)), p_pos)
+        seen = jnp.where(nz, _I(1), seen)
+        return carry, seen, p_pos, p_neg, q_lsb
+
+    zero_row = jnp.zeros((1, LANES), _I)
+    carry, _, p_pos, p_neg, q_lsb = jax.lax.fori_loop(
+        _I(0), _I(n_limbs), pass1,
+        (zero_row, zero_row, jnp.full((1, LANES), -1, _I),
+         jnp.full((1, LANES), -1, _I), jnp.full((1, LANES), n_limbs * LIMB_BITS + 99, _I)),
+    )
+    # Final carry is in {-1, 0} by format headroom; fold it into the top limb
+    # so dacc keeps representing the exact value (pass 2 masks it back out).
+    dacc[pl.ds(n_limbs - 1, 1), :] += carry << _I(LIMB_BITS)
+    negative = carry < 0
+
+    p_msb = jnp.where(negative, p_neg, p_pos)
+    pos_low = p_msb - _I(54)
+    jq = q_lsb // _I(LIMB_BITS)
+
+    j_lo = jnp.maximum(jnp.min(pos_low) // _I(LIMB_BITS), _I(0))
+    j_hi = jnp.max(p_msb) // _I(LIMB_BITS)
+
+    def pass2(j, st):
+        w_hi, w_lo = st
+        draw = dacc[pl.ds(j, 1), :] & _I(LIMB_MASK)
+        nd = (draw ^ _I(LIMB_MASK)) + jnp.where(jq == j, _I(1), _I(0))
+        nd = jnp.where(j < jq, _I(0), nd)
+        d = _u(jnp.where(negative, nd, draw))
+        s = _I(LIMB_BITS) * j - pos_low  # this limb's lsb lands at bit s
+        in_lo = jnp.logical_and(s > -20, s < 32)
+        in_hi = jnp.logical_and(s > 12, s < 55)
+        sh_l = _u(_clip(s, 0, 31)) & _U(31)
+        sh_nl = _u(_clip(-s, 0, 31)) & _U(31)
+        lo_part = jnp.where(s >= 0, d << sh_l, d >> sh_nl)
+        w_lo = jnp.where(in_lo, w_lo | lo_part, w_lo)
+        sh32 = _u(_clip(s - 32, 0, 31)) & _U(31)
+        sh32n = _u(_clip(32 - s, 0, 31)) & _U(31)
+        hi_part = jnp.where(s >= 32, d << sh32, d >> sh32n)
+        w_hi = jnp.where(in_hi, w_hi | hi_part, w_hi)
+        return w_hi, w_lo
+
+    w_hi, w_lo = jax.lax.fori_loop(
+        j_lo, j_hi + 1, pass2,
+        (jnp.zeros((1, LANES), _U), jnp.zeros((1, LANES), _U)),
+    )
+    sticky = q_lsb < pos_low
+    m55_hi = w_hi & _U(0x7FFFFF)
+    m55_lo = w_lo
+
+    sign = jnp.where(negative, _I(1), _I(0))
+    e_msb = p_msb - _I(offset_bits)
+    hi32, lo32 = ieee_encode_round_pair(sign, e_msb, m55_hi, m55_lo, sticky)
+
+    is_zero = p_msb < 0
+    hi32 = jnp.where(is_zero, _U(0), hi32)
+    lo32 = jnp.where(is_zero, _U(0), lo32)
+
+    nan_c = spec[0:1, :]
+    pos_c = spec[1:2, :]
+    neg_c = spec[2:3, :]
+    is_nan = jnp.logical_or(nan_c > 0, jnp.logical_and(pos_c > 0, neg_c > 0))
+    hi32 = jnp.where(neg_c > 0, _U(0xFFF00000), hi32)
+    lo32 = jnp.where(neg_c > 0, _U(0), lo32)
+    hi32 = jnp.where(pos_c > 0, _U(0x7FF00000), hi32)
+    lo32 = jnp.where(pos_c > 0, _U(0), lo32)
+    hi32 = jnp.where(is_nan, _U(0x7FF80000), hi32)
+    lo32 = jnp.where(is_nan, _U(0), lo32)
+    return hi32, lo32

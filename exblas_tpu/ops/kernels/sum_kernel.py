@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core import deposit as dep
 from ...core.accumulator import to_int32_limbs
-from ...core.types import L_SUM, LIMB_BITS, SUM_FORMAT, Superacc
+from ...core.types import L_SUM, LIMB_BITS, LIMB_MASK, SUM_FORMAT, Superacc
 
 LANES = 128
 _I = jnp.int32
@@ -92,44 +92,151 @@ def renorm_ref(acc_ref):
     acc_ref[...] = low + c_up
 
 
-def _sum_kernel(hi_ref, lo_ref, limb_out, spec_out, acc, spec):
+def _renorm8(acc_ref):
+    """Carry pass on the (L*8, 128) phase layout: carries move 8 rows up."""
+    a = acc_ref[...]
+    c = a >> LIMB_BITS
+    low = a - (c << LIMB_BITS)
+    c_up = pltpu.roll(c, shift=jnp.int32(8), axis=0)
+    row = jax.lax.broadcasted_iota(_I, c_up.shape, 0)
+    c_up = jnp.where(row < 8, _I(0), c_up)
+    acc_ref[...] = low + c_up
+
+
+def _decode_sum_fast(hi, lo):
+    """Minimal-op decomposition of doubles into (q, signed pieces, flags).
+
+    Trimmed for kernel throughput (the streaming decode is the dominant cost
+    of ExSUM): specials have their mantissa masked to zero (so their pieces
+    deposit nothing) and are counted separately; zeros keep q valid=false
+    for the window bounds but naturally deposit zero pieces, so the
+    all-same-exponent fast path can include them at any q.
+    """
+    his = jax.lax.bitcast_convert_type(hi, _I)
+    expf = (his >> _I(20)) & _I(0x7FF)
+    special = expf == _I(0x7FF)
+    mhi = (his & _I(0xFFFFF)) | (jnp.minimum(expf, _I(1)) << _I(20))
+    mhi = jnp.where(special, _I(0), mhi)
+    mlo = jnp.where(special, _I(0), jax.lax.bitcast_convert_type(lo, _I))
+    nonzero = (mhi | mlo) != 0
+    bvalid = nonzero  # specials already have mhi|mlo == 0
+
+    p = jnp.maximum(expf, _I(1)) + _I(SUM_FORMAT.offset_bits - 1075)
+    q = p // _I(LIMB_BITS)
+    r = p - q * _I(LIMB_BITS)
+
+    # mant53 << r as three u32 words; (x >> 1) >> (31 - r) keeps every
+    # variable shift amount in [0, 31] with no clamps or selects.
+    ru = jax.lax.bitcast_convert_type(r, jnp.uint32)
+    rn = jax.lax.bitcast_convert_type(_I(31) - r, jnp.uint32)
+    mhu = jax.lax.bitcast_convert_type(mhi, jnp.uint32)
+    mlu = jax.lax.bitcast_convert_type(mlo, jnp.uint32)
+    w0 = mlu << ru
+    w1 = (mhu << ru) | ((mlu >> jnp.uint32(1)) >> rn)
+    w2 = (mhu >> jnp.uint32(1)) >> rn
+    m20 = jnp.uint32(LIMB_MASK)
+    p0 = w0 & m20
+    p1 = ((w0 >> jnp.uint32(20)) | (w1 << jnp.uint32(12))) & m20
+    p2 = (w1 >> jnp.uint32(8)) & m20
+    p3 = ((w1 >> jnp.uint32(28)) | (w2 << jnp.uint32(4))) & m20
+
+    # sign via xor/sub with the broadcast sign word (cheaper than int mul)
+    m = his >> _I(31)
+    pieces = tuple(
+        (jax.lax.bitcast_convert_type(x, _I) ^ m) - m
+        for x in (p0, p1, p2, p3)
+    )
+    return q, pieces, bvalid, special, his
+
+
+def _deposit_phase_planes(acc, v, pieces, group):
+    """Add the four piece planes at limb rows v..v+3 of the phase acc."""
+    for t, plane in enumerate(pieces):
+        ph = jnp.sum(plane.reshape(group, 8, LANES), axis=0, dtype=_I)
+        acc[pl.ds((v + _I(t)) * 8, 8), :] += ph
+
+
+def _sum_kernel(hi_ref, lo_ref, limb_out, spec_out, acc, spec, *, rows):
     i = pl.program_id(0)
+    group = rows // 8
 
     @pl.when(i == 0)
     def _():
         acc[...] = jnp.zeros_like(acc)
         spec[...] = jnp.zeros_like(spec)
 
-    t = dep.sum_terms(hi_ref[...], lo_ref[...], SUM_FORMAT.offset_bits)
-    deposit_block(acc, t["q"], t["pieces"], t["valid"], L_SUM)
-    counts = jnp.stack(
-        [jnp.sum(t["nan"], axis=0, dtype=_I),
-         jnp.sum(t["pinf"], axis=0, dtype=_I),
-         jnp.sum(t["ninf"], axis=0, dtype=_I)]
-        + [jnp.zeros((LANES,), _I)] * 5
-    )  # (8, 128); rows 0..2 = NaN/+Inf/-Inf counts
-    spec[...] += counts
+    q, pieces, bvalid, special, his = _decode_sum_fast(
+        hi_ref[...], lo_ref[...])
+
+    # One windowed pass over the block's distinct limb bases.  Branch-free
+    # by design: for narrow-exponent data the window is a single iteration
+    # (measured faster than a separate no-select fast path -- extra branches
+    # hurt Mosaic's scheduling more than one select pass costs).
+    big = _I(L_SUM + 8)
+    qmin = jnp.min(jnp.where(bvalid, q, big))
+    qmax = jnp.max(jnp.where(bvalid, q, _I(-1)))
+
+    def body(v, carry):
+        mask = q == v
+        sel = tuple(jnp.where(mask, x, _I(0)) for x in pieces)
+        _deposit_phase_planes(acc, v, sel, group)
+        return carry
+
+    jax.lax.fori_loop(qmin, qmax + 1, body, _I(0))
+
+    # Specials are rare: count them only when the block has any.
+    any_special = jnp.max(jnp.where(special, _I(1), _I(0)))
+
+    @pl.when(any_special > 0)
+    def _():
+        his = jax.lax.bitcast_convert_type(hi_ref[...], _I)
+        expf = (his >> _I(20)) & _I(0x7FF)
+        special = expf == _I(0x7FF)
+        frac_nz = jnp.logical_or(
+            (his & _I(0xFFFFF)) != 0, lo_ref[...] != 0)
+        is_nan = jnp.logical_and(special, frac_nz)
+        is_inf = jnp.logical_and(special, jnp.logical_not(frac_nz))
+        neg = his < 0
+        one, zero = _I(1), _I(0)
+        spec[0:1, :] += jnp.sum(
+            jnp.where(is_nan, one, zero), axis=0, keepdims=True, dtype=_I)
+        spec[1:2, :] += jnp.sum(
+            jnp.where(jnp.logical_and(is_inf, jnp.logical_not(neg)),
+                      one, zero), axis=0, keepdims=True, dtype=_I)
+        spec[2:3, :] += jnp.sum(
+            jnp.where(jnp.logical_and(is_inf, neg), one, zero),
+            axis=0, keepdims=True, dtype=_I)
 
     # RENORM_EVERY is a power of two; use a mask (scalar % lowering is fragile)
     @pl.when(jnp.bitwise_and(i + 1, _I(RENORM_EVERY - 1)) == 0)
     def _():
-        renorm_ref(acc)
+        _renorm8(acc)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        renorm_ref(acc)
-        limb_out[...] = acc[...]
+        _renorm8(acc)
+        # Merge the 8 k-phases in-kernel (static unrolled): the XLA-level
+        # epilogue then only lane-merges a (L_SUM, 128) array, as before the
+        # phase layout (the 8x bigger merge under int64 emulation measurably
+        # drags the whole call).
+        for j in range(L_SUM):
+            limb_out[j:j + 1, :] = jnp.sum(
+                acc[8 * j:8 * j + 8, :], axis=0, keepdims=True, dtype=_I)
         spec_out[...] = spec[...]
 
 
 @functools.partial(jax.jit, static_argnames=("rows",))
-def exsum_pallas(hi, lo, rows: int = 128) -> Superacc:
+def exsum_pallas(hi, lo, rows: int = 256) -> Superacc:
     """Exact sum of doubles given as uint32 bit pairs -> Superacc.
 
     hi/lo: uint32 arrays of identical shape (flattened internally).
     rows: grid block height (a tiling knob; results are invariant to it).
+
+    The accumulator uses the 8-phase layout (limb j of lane l lives in rows
+    8j..8j+8): deposits are aligned (8, 128) adds, and per-block limb growth
+    is bounded by 4 * (rows/8) * 2^20 per distinct exponent window.
     """
-    assert rows % 8 == 0 and rows * RENORM_EVERY <= MAX_ROWS_X_RENORM
+    assert rows % 8 == 0 and rows * RENORM_EVERY <= 4 * MAX_ROWS_X_RENORM
     hi = hi.reshape(-1)
     lo = lo.reshape(-1)
     n = hi.shape[0]
@@ -147,7 +254,7 @@ def exsum_pallas(hi, lo, rows: int = 128) -> Superacc:
     lo = lo.reshape(-1, LANES)
 
     limbs_lanes, spec_lanes = pl.pallas_call(
-        _sum_kernel,
+        functools.partial(_sum_kernel, rows=rows),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((rows, LANES), lambda i: (i, _Z),
@@ -166,7 +273,7 @@ def exsum_pallas(hi, lo, rows: int = 128) -> Superacc:
             jax.ShapeDtypeStruct((8, LANES), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((L_SUM, LANES), jnp.int32),
+            pltpu.VMEM((L_SUM * 8, LANES), jnp.int32),
             pltpu.VMEM((8, LANES), jnp.int32),
         ],
     )(hi, lo)
@@ -179,3 +286,116 @@ def exsum_pallas(hi, lo, rows: int = 128) -> Superacc:
         special=special.astype(jnp.int32),
         fmt=SUM_FORMAT,
     )
+
+
+def _sum_round_tail(acc, spec, dacc):
+    """Final-step epilogue: phase+lane merge and correctly-rounded
+    conversion entirely in-kernel.  Every lane of dacc receives the
+    lane-merged total (broadcast), so round_lanes_acc's per-lane result is
+    the final answer in every lane."""
+    from .round_in_kernel import round_lanes_acc
+
+    for j in range(L_SUM):
+        row = jnp.sum(acc[8 * j:8 * j + 8, :], axis=0, keepdims=True,
+                      dtype=_I)
+        tot = jnp.sum(row, axis=1, keepdims=True, dtype=_I)
+        dacc[j:j + 1, :] = jnp.broadcast_to(tot, (1, LANES))
+    sp = spec[0:3, :]
+    sp_tot = jnp.sum(sp, axis=1, keepdims=True, dtype=_I)
+    sp_b = jnp.broadcast_to(sp_tot, (3, LANES))
+    return round_lanes_acc(dacc, sp_b, L_SUM, SUM_FORMAT.offset_bits)
+
+
+def _sum_bits_kernel(hi_ref, lo_ref, bits_out, acc, spec, dacc, *, rows):
+    i = pl.program_id(0)
+    group = rows // 8
+
+    @pl.when(i == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        spec[...] = jnp.zeros_like(spec)
+
+    q, pieces, bvalid, special, his = _decode_sum_fast(
+        hi_ref[...], lo_ref[...])
+    big = _I(L_SUM + 8)
+    qmin = jnp.min(jnp.where(bvalid, q, big))
+    qmax = jnp.max(jnp.where(bvalid, q, _I(-1)))
+
+    def body(v, carry):
+        mask = q == v
+        sel = tuple(jnp.where(mask, x, _I(0)) for x in pieces)
+        _deposit_phase_planes(acc, v, sel, group)
+        return carry
+
+    jax.lax.fori_loop(qmin, qmax + 1, body, _I(0))
+
+    any_special = jnp.max(jnp.where(special, _I(1), _I(0)))
+
+    @pl.when(any_special > 0)
+    def _():
+        frac_nz = jnp.logical_or(
+            (his & _I(0xFFFFF)) != 0, lo_ref[...] != 0)
+        is_nan = jnp.logical_and(special, frac_nz)
+        is_inf = jnp.logical_and(special, jnp.logical_not(frac_nz))
+        neg = his < 0
+        spec[0:1, :] += jnp.sum(
+            jnp.where(is_nan, _I(1), _I(0)), axis=0, keepdims=True, dtype=_I)
+        spec[1:2, :] += jnp.sum(
+            jnp.where(jnp.logical_and(is_inf, jnp.logical_not(neg)),
+                      _I(1), _I(0)), axis=0, keepdims=True, dtype=_I)
+        spec[2:3, :] += jnp.sum(
+            jnp.where(jnp.logical_and(is_inf, neg), _I(1), _I(0)),
+            axis=0, keepdims=True, dtype=_I)
+
+    @pl.when(jnp.bitwise_and(i + 1, _I(RENORM_EVERY - 1)) == 0)
+    def _():
+        _renorm8(acc)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        _renorm8(acc)
+        hi32, lo32 = _sum_round_tail(acc, spec, dacc)
+        bits_out[0:1, :] = hi32
+        bits_out[1:2, :] = lo32
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def exsum_bits_pallas(hi, lo, rows: int = 512):
+    """Fully fused exact sum: deposits, merges, AND the correctly-rounded
+    conversion run in one kernel -- only 2x4 bytes leave the chip.  Returns
+    uint64 bits (scalar).  Bit-identical to exsum_pallas + XLA rounding
+    (same exact value, same rounding algorithm)."""
+    assert rows % 8 == 0 and rows * RENORM_EVERY <= 4 * MAX_ROWS_X_RENORM
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    n = hi.shape[0]
+    per_block = rows * LANES
+    nblocks = max(1, -(-n // per_block))
+    nblocks = 1 << (nblocks - 1).bit_length()
+    pad = nblocks * per_block - n
+    if pad:
+        hi = jnp.pad(hi, (0, pad))
+        lo = jnp.pad(lo, (0, pad))
+    hi = hi.reshape(-1, LANES)
+    lo = lo.reshape(-1, LANES)
+
+    out = pl.pallas_call(
+        functools.partial(_sum_bits_kernel, rows=rows),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rows, LANES), lambda i: (i, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), lambda i: (i, _Z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, LANES), lambda i: (_Z, _Z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((L_SUM * 8, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.VMEM((L_SUM, LANES), jnp.int32),
+        ],
+    )(hi, lo)
+    return (out[0, 0].astype(jnp.uint64) << jnp.uint64(32)) | out[
+        1, 0].astype(jnp.uint64)
