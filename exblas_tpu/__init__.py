@@ -36,7 +36,7 @@ except Exception:  # pragma: no cover - older jax without these options
 
 from . import core  # noqa: E402
 from .ops import (  # noqa: E402
-    exsum, exsum_acc, exsum_bits,
+    exsum, exsum_acc, exsum_bits, exsum_segmented,
     exdot, exdot_acc, exdot_bits,
     exgemv, exgemm, extrsv,
 )
@@ -58,6 +58,7 @@ __all__ = [
     "exsum",
     "exsum_acc",
     "exsum_bits",
+    "exsum_segmented",
     "exdot",
     "exdot_acc",
     "exdot_bits",

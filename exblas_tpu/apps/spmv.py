@@ -65,3 +65,47 @@ def spmv_experiment(m: int = 200, nnz: int = 32, repeats: int = 5,
         control.add(spmv_control(vals[:, perm], cols[:, perm], x,
                                  rng).tobytes())
     return {"repro_unique": len(repro), "control_unique": len(control)}
+
+
+def main(argv=None):
+    """CLI: reproducible SpMV on a MatrixMarket file.
+
+    python -m exblas_tpu.apps.spmv <file.mtx> [repeats]
+    (e.g. the reference's shipped ``spmv (Parboil)/data/jgl009.mtx`` or
+    ``fidapm05.mtx``.)  Runs the strong-reproducibility protocol: SpMV is
+    repeated with the nnz order shuffled; the exact path must be
+    bit-identical every time while the float control diverges.
+    """
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__)
+        print(main.__doc__)
+        return 1
+    from .io import mm_to_padded_rows, read_matrix_market
+
+    m, n, rows, cols, nzvals = read_matrix_market(argv[0])
+    repeats = int(argv[1]) if len(argv) > 1 else 5
+    vals, pcols = mm_to_padded_rows(m, n, rows, cols, nzvals)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, n) * np.exp2(rng.randint(-25, 25, n))
+
+    repro, control = set(), set()
+    nnz = vals.shape[1]
+    for _ in range(repeats):
+        perm = rng.permutation(nnz)
+        repro.add(spmv_repro(vals[:, perm], pcols[:, perm], x).tobytes())
+        control.add(spmv_control(vals[:, perm], pcols[:, perm], x,
+                                 rng).tobytes())
+    print(f"{argv[0]}: {m}x{n}, {len(nzvals)} nonzeros, "
+          f"padded row width {nnz}")
+    print(f"reproducible path: {len(repro)} distinct result(s)   "
+          f"{'OK' if len(repro) == 1 else 'FAILED'}")
+    print(f"control path:      {len(control)} distinct result(s) "
+          "(non-reproducible by design)")
+    return 0 if len(repro) == 1 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

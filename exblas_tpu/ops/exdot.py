@@ -36,10 +36,12 @@ def _default_impl() -> str:
 
 
 def _variant_rows(fpe: int, early_exit: bool) -> int:
+    # rows * RENORM_EVERY (=2) is capped at 640 by the kernel's limb
+    # carry-slack bound (see dot_kernel.MAX_ROWS_X_RENORM)
     base = {0: 64, 1: 64, 2: 32, 3: 256, 4: 96, 5: 128, 6: 160, 7: 192,
             8: 320}
     r = base[int(fpe)]
-    return r * 2 if early_exit else r
+    return min(320, r * 2) if early_exit else r
 
 
 @partial(jax.jit, static_argnames=("impl", "rows"))

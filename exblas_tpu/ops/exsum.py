@@ -19,6 +19,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core import accumulator as acc_mod
@@ -26,7 +27,7 @@ from ..core.ieee import F64Bits, split_f64
 from ..core.rounding import round_superacc_to_f64_bits
 from ..core.types import SUM_FORMAT, Superacc
 
-__all__ = ["exsum", "exsum_acc", "exsum_bits"]
+__all__ = ["exsum", "exsum_acc", "exsum_bits", "exsum_segmented"]
 
 
 def _validate_fpe(fpe: int):
@@ -120,3 +121,54 @@ def exsum(x, inca: int = 1, offset: int = 0, fpe: int = 2,
     bits = exsum_bits(x, inca=inca, offset=offset, fpe=fpe,
                       early_exit=early_exit, impl=impl)
     return float(np.asarray(bits).reshape(1).view(np.float64)[0])
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def _exsum_segmented_jit(hi, lo, segment_ids, num_segments: int):
+    from ..core import deposit as dep
+    from ..core.rounding import (
+        canonicalize_digits,
+        round_digits_to_f64_bits,
+        QNAN_BITS, NINF_BITS, PINF_BITS,
+    )
+
+    L = SUM_FORMAT.n_limbs
+    t = dep.sum_terms(hi.reshape(-1), lo.reshape(-1),
+                      SUM_FORMAT.offset_bits)
+    seg = segment_ids.reshape(-1).astype(jnp.int32)
+    flat = jnp.zeros((num_segments * L,), jnp.int64)
+    for off, piece in enumerate(t["pieces"]):
+        flat = flat + jax.ops.segment_sum(
+            piece.astype(jnp.int64), seg * L + t["q"] + off,
+            num_segments=num_segments * L)
+    limbs = flat.reshape(num_segments, L)
+    counts = [
+        jax.ops.segment_sum(t[k].astype(jnp.int32), seg,
+                            num_segments=num_segments)
+        for k in ("nan", "pinf", "ninf")
+    ]
+    digits, negative = canonicalize_digits(limbs)
+    bits = round_digits_to_f64_bits(digits, negative, SUM_FORMAT)
+    nan_c, pos_c, neg_c = counts
+    is_nan = jnp.logical_or(nan_c > 0, jnp.logical_and(pos_c > 0,
+                                                       neg_c > 0))
+    bits = jnp.where(neg_c > 0, NINF_BITS, bits)
+    bits = jnp.where(pos_c > 0, PINF_BITS, bits)
+    bits = jnp.where(is_nan, QNAN_BITS, bits)
+    return bits
+
+
+def exsum_segmented(x, segment_ids, num_segments: int) -> np.ndarray:
+    """Reproducible, correctly rounded per-segment sums in one batched pass.
+
+    ``out[s] = exsum(x[segment_ids == s])`` for every segment at once --
+    the batched building block the application studies use (the reference
+    instead loops scalar exsum calls per cluster/cell, e.g.
+    kmeans_clustering.cpp:203-223).  Exact segment deposits make the result
+    independent of element order and of the segment layout.
+    """
+    b = split_f64(x)
+    ids = np.ascontiguousarray(np.asarray(segment_ids, np.int32))
+    bits = _exsum_segmented_jit(b.hi, b.lo, jnp.asarray(ids),
+                                int(num_segments))
+    return np.asarray(bits).view(np.float64)

@@ -37,3 +37,95 @@ def test_gridding_strong_reproducibility():
                             impl="xla")
     assert r["repro_unique"] == 1
     assert r["control_unique"] > 1
+
+
+# ---------------------------------------------------------------------------
+# Real-data pipelines on the reference's shipped inputs (skipped when the
+# reference checkout is absent)
+# ---------------------------------------------------------------------------
+
+from exblas_tpu.apps.io import reference_data_path  # noqa: E402
+
+_SPMV_DIR = ("src", "cpu", "examples", "spmv (Parboil)", "data")
+
+
+@pytest.mark.parametrize("name,shape,nnz", [
+    ("jgl009.mtx", (9, 9), 50), ("fidapm05.mtx", (42, 42), 520)])
+def test_spmv_real_matrix_market(name, shape, nnz):
+    path = reference_data_path(*_SPMV_DIR, name)
+    if path is None:
+        pytest.skip("reference data not available")
+    from exblas_tpu.apps import spmv
+
+    assert spmv.main([path, "4"]) == 0
+
+
+def test_mm_reader_values():
+    path = reference_data_path(*_SPMV_DIR, "fidapm05.mtx")
+    if path is None:
+        pytest.skip("reference data not available")
+    from exblas_tpu.apps.io import read_matrix_market
+
+    m, n, rows, cols, vals = read_matrix_market(path)
+    assert (m, n, len(vals)) == (42, 42, 520)
+    assert rows[0] == 0 and cols[0] == 0
+    assert vals[0] == 1.9555555555555
+    path2 = reference_data_path(*_SPMV_DIR, "jgl009.mtx")
+    m, n, rows, cols, vals = read_matrix_market(path2)
+    assert (m, n, len(vals)) == (9, 9, 50)
+    assert (vals == 1.0).all()  # pattern matrix
+
+
+def test_kmeans_real_data():
+    path = reference_data_path(
+        "src", "cpu", "examples", "kmeans (Rodinia)", "data", "100")
+    if path is None:
+        pytest.skip("reference data not available")
+    from exblas_tpu.apps import kmeans as km
+    from exblas_tpu.apps.io import read_kmeans_points
+
+    pts = read_kmeans_points(path)
+    assert pts.shape == (100, 34)
+    assert km.main([path, "4", "4"]) == 0
+
+
+def test_gridding_real_uks():
+    path = reference_data_path(
+        "src", "cpu", "examples", "mri-gridding (Parboil)", "data",
+        "small", "small.uks")
+    if path is None:
+        pytest.skip("reference data not available")
+    from exblas_tpu.apps.io import read_uks
+
+    params, samples = read_uks(path, synth_cap=20000)
+    assert int(params["aquisition.numsamples"]) == 2655910
+    assert samples.shape[1] == 6
+    # protocol on a reduced stream (CI-speed)
+    import numpy as np
+
+    from exblas_tpu.apps.gridding import grid_repro, grid_control
+
+    idx = np.random.RandomState(0).randint(0, 999, len(samples))
+    occupied, idx = np.unique(idx, return_inverse=True)
+    vals = samples[:, 0] + 1j * samples[:, 1]
+    rng = np.random.RandomState(1)
+    outs = set()
+    for _ in range(3):
+        perm = rng.permutation(len(vals))
+        outs.add(grid_repro(idx[perm], vals[perm], len(occupied)).tobytes())
+    assert len(outs) == 1
+
+
+def test_exsum_segmented_matches_scalar():
+    import numpy as np
+
+    import exblas_tpu as xb
+
+    rng = np.random.RandomState(3)
+    x = xb.init_fpuniform(5000, 40, -20, seed=4) * np.where(
+        rng.rand(5000) < 0.5, -1, 1)
+    ids = rng.randint(0, 13, 5000)
+    out = xb.exsum_segmented(x, ids, 13)
+    for s in range(13):
+        want = xb.exsum(x[ids == s], impl="xla")
+        assert np.float64(out[s]).tobytes() == np.float64(want).tobytes()
