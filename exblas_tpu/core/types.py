@@ -130,3 +130,31 @@ class Superacc:
             special=self.special + other.special,
             fmt=self.fmt,
         )
+
+    def dump(self) -> str:
+        """Hex dump of the raw limb state for debugging/introspection --
+        the analog of ``Superaccumulator::Dump`` (reference
+        superaccumulator.cpp:164-184).  Limbs print most-significant first
+        (as the reference does), one hex word per limb, with the special
+        counters and the exact represented value appended.
+        """
+        import numpy as np
+
+        limbs = np.asarray(self.limbs)
+        special = np.asarray(self.special)
+        if limbs.ndim > 1:
+            return "\n".join(
+                Superacc(limbs=limbs[i], special=special[i],
+                         fmt=self.fmt).dump()
+                for i in range(limbs.shape[0])
+            )
+        words = " ".join(
+            format(int(v) & 0xFFFFFFFF, "08x") for v in limbs[::-1]
+        )
+        v = sum(int(x) << (LIMB_BITS * j) for j, x in enumerate(limbs))
+        return (
+            f"superacc[{self.fmt.n_limbs}x{LIMB_BITS}b "
+            f"2^-{self.fmt.offset_bits}] {words} "
+            f"| nan={int(special[0])} +inf={int(special[1])} "
+            f"-inf={int(special[2])} | V={v}"
+        )

@@ -282,8 +282,25 @@ def _gemm_bits_auto(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo,
 
 def exgemm_bits(transa: str, transb: str, alpha: float, a, b,
                 beta: float = 1.0, c=None, fpe: int = 3,
-                early_exit: bool = False, impl: str | None = None):
+                early_exit: bool = False, impl: str | None = None,
+                m: int | None = None, n: int | None = None,
+                k: int | None = None, lda: int | None = None,
+                ldb: int | None = None, ldc: int | None = None):
     _validate_fpe(fpe)
+    if lda is not None or ldb is not None or ldc is not None:
+        from .exgemv import _apply_ld
+
+        if m is None or n is None or k is None:
+            raise ValueError("exgemm: ld* require explicit m, n, k")
+        # stored (pre-op) shapes follow BLAS: A is (m, k) unless transa
+        if lda is not None:
+            ra, ca = (m, k) if transa.upper() == "N" else (k, m)
+            a = _apply_ld(a, ra, ca, lda)
+        if ldb is not None:
+            rb, cb = (k, n) if transb.upper() == "N" else (n, k)
+            b = _apply_ld(b, rb, cb, ldb)
+        if ldc is not None and c is not None:
+            c = _apply_ld(c, m, n, ldc)
     ab = split_f64(a)
     bb = split_f64(b)
     if transa.upper() == "T":
@@ -324,9 +341,16 @@ def exgemm_bits(transa: str, transb: str, alpha: float, a, b,
 
 def exgemm(transa: str, transb: str, alpha: float, a, b, beta: float = 1.0,
            c=None, fpe: int = 3, early_exit: bool = False,
-           impl: str | None = None) -> np.ndarray:
+           impl: str | None = None, m: int | None = None,
+           n: int | None = None, k: int | None = None,
+           lda: int | None = None, ldb: int | None = None,
+           ldc: int | None = None) -> np.ndarray:
     """Reproducible C := beta*C + alpha*op(A)@op(B) (reference default:
-    C += A@B).  Returns a new numpy array."""
+    C += A@B).  Returns a new numpy array.
+
+    Mirrors the full reference signature (include/blas3.hpp:56): flat
+    column-major buffers are accepted with ``m``/``n``/``k`` and
+    ``lda``/``ldb``/``ldc``."""
     if int(fpe) == 1:
         from .. import baselines
 
@@ -336,5 +360,6 @@ def exgemm(transa: str, transb: str, alpha: float, a, b, beta: float = 1.0,
                                        None if c is None else beta
                                        * np.asarray(c))
     bits = exgemm_bits(transa, transb, alpha, a, b, beta=beta, c=c,
-                       fpe=fpe, early_exit=early_exit, impl=impl)
+                       fpe=fpe, early_exit=early_exit, impl=impl,
+                       m=m, n=n, k=k, lda=lda, ldb=ldb, ldc=ldc)
     return np.asarray(bits).view(np.uint64).view(np.float64)

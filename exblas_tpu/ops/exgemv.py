@@ -149,10 +149,39 @@ def _variant_rows(fpe: int, early_exit: bool) -> int:
     return min(384, r * 2) if early_exit else r
 
 
+def _apply_ld(a, m, n, lda):
+    """Reinterpret a flat column-major buffer with leading dimension lda as
+    the logical (m, n) matrix -- the BLAS convention of the reference
+    signatures (include/blas2.hpp:57,95, blas3.hpp:56)."""
+    buf = np.asarray(a, np.float64).reshape(-1)
+    if lda < m or buf.size < lda * n:
+        raise ValueError(f"lda={lda} too small for {m}x{n}")
+    return buf[: lda * n].reshape(n, lda)[:, :m].T
+
+
+def _apply_inc(v, n, inc, name):
+    """BLAS vector stride: element i lives at v[i * inc]."""
+    if inc == 1:
+        return v
+    buf = np.asarray(v, np.float64).reshape(-1)
+    if inc <= 0:
+        raise ValueError(f"{name}: inc must be positive, got {inc}")
+    out = buf[::inc]
+    if out.size < n:
+        raise ValueError(f"{name}: buffer too small for n={n}, inc={inc}")
+    return out[:n]
+
+
 def exgemv_bits(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
                 fpe: int = 3, early_exit: bool = False,
-                impl: str | None = None):
+                impl: str | None = None, m: int | None = None,
+                n: int | None = None, lda: int | None = None,
+                incx: int = 1, incy: int = 1):
     _validate_fpe(fpe)
+    if lda is not None:
+        if m is None or n is None:
+            raise ValueError("exgemv: lda requires explicit m and n")
+        a = _apply_ld(a, m, n, lda)
     ab = split_f64(a)
     if ab.hi.ndim != 2:
         raise ValueError("exgemv: a must be 2-D")
@@ -164,6 +193,8 @@ def exgemv_bits(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
     if trans == "T":
         ab = F64Bits(hi=ab.hi.T, lo=ab.lo.T)
         m, n = n, m
+    if incx != 1:
+        xb = split_f64(_apply_inc(x, n, incx, "exgemv x"))
     if xb.hi.shape != (n,):
         raise ValueError(f"exgemv: x must have shape ({n},)")
 
@@ -172,7 +203,8 @@ def exgemv_bits(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
     if beta_mode != "zero":
         if y is None:
             raise ValueError("exgemv: beta != 0 requires y")
-        yb = split_f64(y)
+        yb = split_f64(_apply_inc(y, m, incy, "exgemv y")
+                       if incy != 1 else y)
         if yb.hi.shape != (m,):
             raise ValueError(f"exgemv: y must have shape ({m},)")
     else:
@@ -190,16 +222,27 @@ def exgemv_bits(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
 
 def exgemv(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
            fpe: int = 3, early_exit: bool = False,
-           impl: str | None = None) -> np.ndarray:
+           impl: str | None = None, m: int | None = None,
+           n: int | None = None, lda: int | None = None,
+           incx: int = 1, incy: int = 1) -> np.ndarray:
     """Reproducible y := alpha*op(A)*x + beta*y.  Returns a new numpy array.
 
-    ``fpe == 1`` dispatches the non-reproducible fp64 control (the
-    reference's DGEMV.cl baseline path, ExGEMV.cpp:92-94).
+    Mirrors the full reference signature (include/blas2.hpp:95): pass a
+    flat column-major buffer with ``m``/``n``/``lda`` and strided vectors
+    with ``incx``/``incy`` (the returned y is dense).  ``fpe == 1``
+    dispatches the non-reproducible fp64 control (the reference's DGEMV.cl
+    baseline path, ExGEMV.cpp:92-94).
     """
     if int(fpe) == 1:
         from .. import baselines
 
+        if lda is not None:
+            a = _apply_ld(a, m, n, lda)
+        if incx != 1:
+            x = _apply_inc(x, a.shape[1] if trans.upper() == "N"
+                           else a.shape[0], incx, "exgemv x")
         return baselines.gemv_baseline(trans, alpha, a, x, beta=beta, y=y)
     bits = exgemv_bits(trans, alpha, a, x, beta=beta, y=y, fpe=fpe,
-                       early_exit=early_exit, impl=impl)
+                       early_exit=early_exit, impl=impl, m=m, n=n, lda=lda,
+                       incx=incx, incy=incy)
     return np.asarray(bits).view(np.float64)

@@ -219,12 +219,25 @@ def _choose_block(n: int) -> int:
 
 
 def extrsv_bits(uplo: str, trans: str, diag: str, a, b, fpe: int = 3,
-                early_exit: bool = False, impl: str | None = None):
+                early_exit: bool = False, impl: str | None = None,
+                n: int | None = None, lda: int | None = None,
+                incx: int = 1):
     if not (0 <= int(fpe) <= 8):
         raise ValueError(f"extrsv: fpe must be in [0, 8], got {fpe}")
     uplo, trans, diag = uplo.upper(), trans.upper(), diag.upper()
     if uplo not in "LU" or trans not in "NT" or diag not in "NU":
         raise ValueError("extrsv: uplo in L/U, trans in N/T, diag in N/U")
+    if lda is not None:
+        from .exgemv import _apply_ld
+
+        if n is None:
+            raise ValueError("extrsv: lda requires explicit n")
+        a = _apply_ld(a, n, n, lda)
+    if incx != 1:
+        from .exgemv import _apply_inc
+
+        b = _apply_inc(b, n if n is not None else np.asarray(a).shape[0],
+                       incx, "extrsv x")
     ab = split_f64(a)
     bb = split_f64(b)
     n = bb.hi.shape[0]
@@ -254,12 +267,28 @@ def extrsv_bits(uplo: str, trans: str, diag: str, a, b, fpe: int = 3,
 
 
 def extrsv(uplo: str, trans: str, diag: str, a, b, fpe: int = 3,
-           early_exit: bool = False, impl: str | None = None) -> np.ndarray:
-    """Reproducible triangular solve; returns x as a new numpy array."""
+           early_exit: bool = False, impl: str | None = None,
+           n: int | None = None, lda: int | None = None,
+           incx: int = 1) -> np.ndarray:
+    """Reproducible triangular solve; returns x as a new numpy array.
+
+    Mirrors the full reference signature (include/blas2.hpp:57): pass a
+    flat column-major buffer with ``n``/``lda`` and a strided right-hand
+    side with ``incx`` (the returned solution is dense)."""
     if int(fpe) == 1:
         from .. import baselines
 
+        if lda is not None:
+            from .exgemv import _apply_ld
+
+            a = _apply_ld(a, n, n, lda)
+        if incx != 1:
+            from .exgemv import _apply_inc
+
+            b = _apply_inc(b, n if n is not None else np.asarray(a).shape[0],
+                           incx, "extrsv x")
         return baselines.trsv_baseline(uplo, trans, diag, a, b)
     bits = extrsv_bits(uplo, trans, diag, a, b, fpe=fpe,
-                       early_exit=early_exit, impl=impl)
+                       early_exit=early_exit, impl=impl, n=n, lda=lda,
+                       incx=incx)
     return np.asarray(bits).view(np.float64)

@@ -109,3 +109,61 @@ def test_exgemv_errors():
         xb.exgemv("N", 1.0, a, x, beta=2.0)  # y required
     with pytest.raises(ValueError):
         xb.exgemv("N", 1.0, a, x, fpe=9)
+
+
+def test_exgemv_lda_incx_incy():
+    """BLAS-style flat column-major buffers + strided vectors must match
+    the plain array API (reference signature include/blas2.hpp:95)."""
+    m, n, lda = 7, 5, 11
+    rng = np.random.RandomState(40)
+    a = xb.init_fpuniform_matrix(m, n, 8, 0, seed=41)
+    buf = rng.uniform(-1, 1, lda * n)
+    # place A column-major into the buffer
+    for j in range(n):
+        buf[j * lda: j * lda + m] = a[:, j]
+    x_buf = rng.uniform(-1, 1, 2 * n)
+    x = x_buf[::2][:n]
+    y_buf = rng.uniform(-1, 1, 3 * m)
+    y = y_buf[::3][:m]
+
+    want = xb.exgemv("N", 1.5, a, x, beta=0.5, y=y, impl="xla")
+    got = xb.exgemv("N", 1.5, buf, x_buf, beta=0.5, y=y_buf, impl="xla",
+                    m=m, n=n, lda=lda, incx=2, incy=3)
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+def test_extrsv_lda_incx():
+    n, lda = 6, 9
+    rng = np.random.RandomState(42)
+    a = xb.init_fpuniform_tr_matrix("L", "N", n, 6, 0, seed=43)
+    buf = rng.uniform(-1, 1, lda * n)
+    for j in range(n):
+        buf[j * lda: j * lda + n] = a[:, j]
+    b_buf = rng.uniform(-1, 1, 2 * n)
+    b = b_buf[::2][:n]
+    want = xb.extrsv("L", "N", "N", a, b, impl="xla")
+    got = xb.extrsv("L", "N", "N", buf, b_buf, impl="xla",
+                    n=n, lda=lda, incx=2)
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+def test_exgemm_ld():
+    m, n, k = 5, 6, 7
+    lda, ldb, ldc = 9, 11, 8
+    rng = np.random.RandomState(44)
+    a = xb.init_fpuniform_matrix(m, k, 6, 0, seed=45)
+    b = xb.init_fpuniform_matrix(k, n, 6, 0, seed=46)
+    c = xb.init_fpuniform_matrix(m, n, 6, 0, seed=47)
+
+    def colmajor(mat, ld):
+        r, cc = mat.shape
+        buf = rng.uniform(-1, 1, ld * cc)
+        for j in range(cc):
+            buf[j * ld: j * ld + r] = mat[:, j]
+        return buf
+
+    want = xb.exgemm("N", "N", 1.0, a, b, beta=1.0, c=c, impl="xla")
+    got = xb.exgemm("N", "N", 1.0, colmajor(a, lda), colmajor(b, ldb),
+                    beta=1.0, c=colmajor(c, ldc), impl="xla",
+                    m=m, n=n, k=k, lda=lda, ldb=ldb, ldc=ldc)
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()

@@ -28,3 +28,18 @@ def test_checkpoint_resume_exact():
                 .reshape(1).view(np.float64)[0])
     assert_same_bits(got, ref, "resume")
     assert_same_bits(got, exact_sum(x), "resume-vs-oracle")
+
+
+def test_superacc_dump():
+    """Hex introspection analog of Superaccumulator::Dump (reference
+    superaccumulator.cpp:164-184)."""
+    import exblas_tpu as xb
+
+    acc = xb.exsum_acc(np.array([1.5, -0.25]), impl="xla")
+    s = acc.dump()
+    assert "superacc[112x20b" in s and "V=" in s
+    # exact value: 1.25 * 2^1074
+    assert f"V={int(1.25 * 4) << (1074 - 2)}" in s
+    assert "nan=0 +inf=0 -inf=0" in s
+    acc2 = xb.exsum_acc(np.array([np.inf, np.nan]), impl="xla")
+    assert "nan=1 +inf=1" in acc2.dump()
