@@ -101,14 +101,14 @@ def fallback():
         @jax.jit
         def f(hi, lo):
             def body(state, it):
-                acc = exsum_pallas(hi, lo ^ it, rows=128)
+                acc = exsum_pallas(hi, lo ^ it, rows=512)
                 return state ^ round_superacc_to_f64_bits(acc), None
             out, _ = jax.lax.scan(body, jnp.uint64(0),
                                   jnp.arange(R, dtype=jnp.uint32))
             return out
         return f
 
-    t = amortized_seconds(mk, (hi, lo), R=9, reps=2)
+    t = amortized_seconds(mk, (hi, lo), R=65, reps=3)
     print(json.dumps({
         "metric": "exsum_n2p24_gb_per_s",
         "value": round(n * 8 / t / 1e9, 1),

@@ -11,7 +11,6 @@ promote-then-sum).
 from __future__ import annotations
 
 import numpy as np
-import jax
 
 from ..core.ieee import split_f64
 from ..ops.exgemv import dot_rows_acc_xla, round_rows

@@ -27,8 +27,7 @@ import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core import deposit as dep
-from ...core.types import DOT_FORMAT, L_DOT, LIMB_BITS
+from ...core.types import L_DOT, LIMB_BITS
 
 LANES = 128
 _I = jnp.int32

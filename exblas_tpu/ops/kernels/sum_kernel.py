@@ -36,7 +36,6 @@ import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core import deposit as dep
 from ...core.accumulator import to_int32_limbs
 from ...core.types import L_SUM, LIMB_BITS, LIMB_MASK, SUM_FORMAT, Superacc
 
@@ -49,47 +48,6 @@ _Z = _np.int32(0)
 # rows=256, RENORM_EVERY=4 -> 2^30 + 2^21: safe.
 RENORM_EVERY = 4
 MAX_ROWS_X_RENORM = 1 << (31 - LIMB_BITS - 1)
-
-
-def deposit_block(acc_ref, q, pieces, valid, n_limbs, bounds=None):
-    """Deposit a (G, 128) block of decomposed terms into the limb scratch.
-
-    One fori_loop over the limb window [min q, max q + len(pieces)) of the
-    whole block; each iteration selects the matching piece per element and
-    reduces over the G sublanes.  Exact regardless of window (invalid terms
-    have q=0, pieces=0).  ``bounds=(qmin, qmax)`` supplies precomputed
-    (possibly conservative) bounds on q, saving cross-lane reductions.
-    """
-    npieces = len(pieces)
-    if bounds is not None:
-        qmin, qmax = bounds
-    else:
-        big = _I(n_limbs + 8)
-        qmin = jnp.min(jnp.where(valid, q, big))
-        qmax = jnp.max(jnp.where(valid, q, _I(-1)))
-
-    def body(j, carry):
-        d = j - q
-        contrib = jnp.where(d == 0, pieces[0], _I(0))
-        for t in range(1, npieces):
-            contrib = jnp.where(d == t, pieces[t], contrib)
-        acc_ref[pl.ds(j, 1), :] += jnp.sum(
-            contrib, axis=0, keepdims=True, dtype=_I
-        )
-        return carry
-
-    jax.lax.fori_loop(qmin, qmax + npieces, body, _I(0))
-
-
-def renorm_ref(acc_ref):
-    """One exact carry pass over the limb scratch (value-preserving)."""
-    a = acc_ref[...]
-    c = a >> LIMB_BITS
-    low = a - (c << LIMB_BITS)
-    c_up = pltpu.roll(c, shift=jnp.int32(1), axis=0)
-    row = jax.lax.broadcasted_iota(_I, c_up.shape, 0)
-    c_up = jnp.where(row == 0, _I(0), c_up)
-    acc_ref[...] = low + c_up
 
 
 def _renorm8(acc_ref):

@@ -38,9 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core import deposit as dep
 from ...core.f64ops import f64_div_pair
-from ...core.rounding import ieee_encode_round_pair
 from .round_in_kernel import round_lanes_acc
-from ...core.types import DOT_FORMAT, L_DOT, LIMB_BITS, LIMB_MASK
+from ...core.types import DOT_FORMAT, L_DOT, LIMB_BITS
 
 B = 128  # block size == VPU lanes
 L = L_DOT
