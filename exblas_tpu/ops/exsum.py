@@ -51,7 +51,7 @@ def _variant_rows(fpe: int, early_exit: bool) -> int:
     base = {0: 96, 1: 96, 2: 32, 3: 512, 4: 64, 5: 160, 6: 224, 7: 288,
             8: 480}
     r = base[int(fpe)]
-    return r * 2 if early_exit else r
+    return min(992, r * 2) if early_exit else r
 
 
 @partial(jax.jit, static_argnames=("impl", "rows"))

@@ -43,11 +43,12 @@ LANES = 128
 _I = jnp.int32
 _Z = _np.int32(0)
 
-# Deposits per lane between carry passes is bounded by rows * RENORM_EVERY;
-# limb growth is rows * RENORM_EVERY * 2^20 + 2^21 which must stay < 2^31.
-# rows=256, RENORM_EVERY=4 -> 2^30 + 2^21: safe.
+# Limb growth between carry passes: a phase row receives at most 4 piece
+# planes per block, each a sum of rows/8 pieces < 2^20, so growth over
+# RENORM_EVERY blocks is RENORM_EVERY * (rows/2) * 2^20, which (plus the
+# canonical base < 2^21) must stay < 2^31:  rows * RENORM_EVERY <= 4064.
 RENORM_EVERY = 4
-MAX_ROWS_X_RENORM = 1 << (31 - LIMB_BITS - 1)
+MAX_ROWS_X_RENORM = 4064
 
 
 def _renorm8(acc_ref):
@@ -194,7 +195,7 @@ def exsum_pallas(hi, lo, rows: int = 256) -> Superacc:
     8j..8j+8): deposits are aligned (8, 128) adds, and per-block limb growth
     is bounded by 4 * (rows/8) * 2^20 per distinct exponent window.
     """
-    assert rows % 8 == 0 and rows * RENORM_EVERY <= 4 * MAX_ROWS_X_RENORM
+    assert rows % 8 == 0 and rows * RENORM_EVERY <= MAX_ROWS_X_RENORM
     hi = hi.reshape(-1)
     lo = lo.reshape(-1)
     n = hi.shape[0]
@@ -323,7 +324,7 @@ def exsum_bits_pallas(hi, lo, rows: int = 512):
     conversion run in one kernel -- only 2x4 bytes leave the chip.  Returns
     uint64 bits (scalar).  Bit-identical to exsum_pallas + XLA rounding
     (same exact value, same rounding algorithm)."""
-    assert rows % 8 == 0 and rows * RENORM_EVERY <= 4 * MAX_ROWS_X_RENORM
+    assert rows % 8 == 0 and rows * RENORM_EVERY <= MAX_ROWS_X_RENORM
     hi = hi.reshape(-1)
     lo = lo.reshape(-1)
     n = hi.shape[0]
