@@ -32,7 +32,18 @@ from oracle import (  # noqa: E402
     assert_same_bits,
     exact_dot,
     exact_sum_with_specials,
+    native_dot,
+    native_sum,
 )
+
+# The native C++ oracle (csrc/oracle.cpp) computes the same semantics
+# ~100x faster than Python rationals and is cross-validated against them in
+# test_oracle_native.py; fall back to Fractions if the toolchain is absent.
+try:
+    native_sum([1.0])
+    _SUM_ORACLE, _DOT_ORACLE = native_sum, native_dot
+except Exception:  # pragma: no cover
+    _SUM_ORACLE, _DOT_ORACLE = None, None
 
 
 DISTRIBUTIONS = (
@@ -129,7 +140,7 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
     if routine == "exsum":
         x = gen_vector(dist, n, rng)
         got = xb.exsum(x, fpe=fpe, early_exit=early_exit, impl=impl)
-        want = exact_sum_with_specials(x)
+        want = (_SUM_ORACLE or exact_sum_with_specials)(x)
         assert_same_bits(got, want, label)
         # reproducibility under permutation
         p = rng.permutation(n)
@@ -140,7 +151,7 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
         b = gen_vector(DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))],
                        n, rng)
         got = xb.exdot(a, b, fpe=fpe, early_exit=early_exit, impl=impl)
-        want = exact_dot_with_specials(a, b)
+        want = (_DOT_ORACLE or exact_dot_with_specials)(a, b)
         assert_same_bits(got, want, label)
         p = rng.permutation(n)
         got_p = xb.exdot(a[p], b[p], fpe=fpe, early_exit=early_exit,
