@@ -254,11 +254,11 @@ def extrsv_bits(uplo: str, trans: str, diag: str, a, b, fpe: int = 3,
 
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas" and n <= 16384:
+    if impl == "pallas":
         bits = _trsv_lower_pallas_jit(ab.hi, ab.lo, bb.hi, bb.lo, diag == "U")
     else:
-        # spec-oracle path (and fallback beyond the kernel's n cap)
-        xla_impl = "pallas" if impl == "pallas" else "xla"
+        # spec-oracle path
+        xla_impl = "xla"
         bits = _trsv_lower_jit(ab.hi, ab.lo, bb.hi, bb.lo, diag == "U",
                                _choose_block(n), xla_impl)
     if uplo == "U":

@@ -106,8 +106,10 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
                  acc, spec, dacc, xsub_hi, xsub_lo, *, unit: bool):
     kb = pl.program_id(0)
     kc = pl.program_id(1)
+    w = xsub_hi.shape[1]  # x staging width: nblocks padded to lane tiles
     lane = jax.lax.broadcasted_iota(_I, (1, B), 1)
-    lane_b = jax.lax.broadcasted_iota(_I, (B, B), 1)
+    lane_w = jax.lax.broadcasted_iota(_I, (1, w), 1)
+    lane_bw = jax.lax.broadcasted_iota(_I, (B, w), 1)
 
     @pl.when(kc == 0)
     def _():
@@ -143,10 +145,10 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
         # T^T[(kc), (kb)] = reduction index (solved column) in sublanes,
         # output row in lanes.
         xs_h = _u(jnp.broadcast_to(jnp.sum(
-            jnp.where(lane_b == kc, _i(xsub_hi[...]), _I(0)),
+            jnp.where(lane_bw == kc, _i(xsub_hi[...]), _I(0)),
             axis=1, keepdims=True, dtype=_I), (B, B)))
         xs_l = _u(jnp.broadcast_to(jnp.sum(
-            jnp.where(lane_b == kc, _i(xsub_lo[...]), _I(0)),
+            jnp.where(lane_bw == kc, _i(xsub_lo[...]), _I(0)),
             axis=1, keepdims=True, dtype=_I), (B, B)))
         a_hi = tt_hi_ref[...] ^ _U(0x80000000)
         a_lo = tt_lo_ref[...]
@@ -185,10 +187,12 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
             xb_hi = jnp.where(lane == i, xq_hi, xb_hi)
             xb_lo = jnp.where(lane == i, xq_lo, xb_lo)
             # Publish x_i into the cross-block scratch (row i, lane kb).
+            xq_hi_w = jnp.broadcast_to(xq_hi[:, 0:1], (1, w))
+            xq_lo_w = jnp.broadcast_to(xq_lo[:, 0:1], (1, w))
             xsub_hi[pl.ds(i, 1), :] = jnp.where(
-                lane == kb, xq_hi, xsub_hi[pl.ds(i, 1), :])
+                lane_w == kb, xq_hi_w, xsub_hi[pl.ds(i, 1), :])
             xsub_lo[pl.ds(i, 1), :] = jnp.where(
-                lane == kb, xq_lo, xsub_lo[pl.ds(i, 1), :])
+                lane_w == kb, xq_lo_w, xsub_lo[pl.ds(i, 1), :])
 
             # Deposit -t_ji * x_i for j > i (exact 106-bit products).
             m = lane > i
@@ -237,12 +241,13 @@ def trsv_lower_x_pallas(tt_hi, tt_lo, b_hi, b_lo, unit: bool = False):
     the padded diagonal set to 1.0; b: (nblocks, 128) bit pair.
     Returns (x_hi, x_lo) uint32 of shape (nblocks, 128).
 
-    Requires nblocks <= 128 (n <= 16384): solved x blocks are staged in a
-    (128, 128) VMEM scratch, one lane per block.
+    Solved x blocks are staged in a (128, W) VMEM scratch, one lane per
+    block (W = nblocks padded to lane tiles), so n is VMEM-bound only.
     """
     n = tt_hi.shape[0]
-    assert n % B == 0 and n // B <= B
+    assert n % B == 0
     nblocks = n // B
+    w = -(-nblocks // B) * B
 
     grid = (nblocks, nblocks)
     return pl.pallas_call(
@@ -272,7 +277,7 @@ def trsv_lower_x_pallas(tt_hi, tt_lo, b_hi, b_lo, unit: bool = False):
             pltpu.VMEM((L * 8, B), jnp.int32),   # phase accumulator
             pltpu.VMEM((8, B), jnp.int32),       # special counters
             pltpu.VMEM((L, B), jnp.int32),       # solve accumulator
-            pltpu.VMEM((B, B), jnp.uint32),      # solved x, hi words
-            pltpu.VMEM((B, B), jnp.uint32),      # solved x, lo words
+            pltpu.VMEM((B, w), jnp.uint32),      # solved x, hi words
+            pltpu.VMEM((B, w), jnp.uint32),      # solved x, lo words
         ],
     )(tt_hi, tt_lo, b_hi, b_lo)
