@@ -140,6 +140,175 @@ def _validate_fpe(fpe: int):
         raise ValueError(f"exgemv: fpe must be in [0, 8], got {fpe}")
 
 
+# ---------------------------------------------------------------------------
+# Jittable auto dispatch: MXU byte-plane ladder with device-resident coverage
+# ---------------------------------------------------------------------------
+
+_GEMV_RUNGS = ((2, 2), (3, 3))  # (nwa, nwz) word counts: 64/96 anchored bits
+
+
+def _mxu_beta_cover(y_hi, y_lo, beta_hi, beta_lo, ea0, f0, r0: int):
+    """Device bool: every finite nonzero beta*y product fits the relative
+    accumulator window [e_base - r0, e_base + MXU_BETA_HEAD] of its row."""
+    from ..core.ieee import decode_fields
+    from .kernels.gemv_mxu import MXU_BETA_HEAD
+
+    _, expf_y, mhi_y, mlo_y = decode_fields(y_hi, y_lo)
+    zero_y, inf_y, nan_y = dep.classify(expf_y, mhi_y, mlo_y)
+    _, expf_b, mhi_b, mlo_b = decode_fields(beta_hi, beta_lo)
+    zero_b, inf_b, nan_b = dep.classify(expf_b, mhi_b, mlo_b)
+
+    e_lsb_y = jnp.maximum(expf_y, 1) - jnp.int32(1075)
+    e_lsb_b = jnp.maximum(expf_b, 1) - jnp.int32(1075)
+    e_lsb = e_lsb_b + e_lsb_y
+    e_msb = e_lsb + jnp.int32(106)
+    e_base = ea0 + f0 + jnp.int32(2)
+    valid = jnp.logical_not(jnp.logical_or(
+        jnp.logical_or(zero_y, expf_y == 0x7FF),
+        jnp.logical_or(zero_b, expf_b == 0x7FF)))
+    lo_ok = e_lsb + jnp.int32(r0) - e_base >= 0
+    hi_ok = e_msb - e_base <= jnp.int32(MXU_BETA_HEAD)
+    ok = jnp.logical_or(jnp.logical_not(valid),
+                        jnp.logical_and(lo_ok, hi_ok))
+    return jnp.all(ok)
+
+
+def _gemv_special_rows(a_hi, a_lo, z_hi, z_lo):
+    """Per-row (nan, pinf, ninf) bools of sum_k a_ik*z_k, matching the
+    special semantics of dep.product_terms + round_rows.  Runs only under
+    lax.cond when specials are present (it re-reads A)."""
+    from .exgemm import _decode_indicators
+
+    A = _decode_indicators(a_hi, a_lo)
+    Z = _decode_indicators(z_hi, z_lo)
+    zrow = {k: v[None, :] for k, v in Z.items()}
+    inf_a = jnp.logical_or(A["pinf"], A["ninf"])
+    inf_z = jnp.logical_or(zrow["pinf"], zrow["ninf"])
+    nan_p = jnp.logical_or(
+        jnp.logical_or(A["nan"], zrow["nan"]),
+        jnp.logical_or(jnp.logical_and(inf_a, zrow["zero"]),
+                       jnp.logical_and(A["zero"], inf_z)))
+    posz = jnp.logical_or(zrow["finp"], zrow["pinf"])
+    negz = jnp.logical_or(zrow["finn"], zrow["ninf"])
+    pinf_p = jnp.logical_or(
+        jnp.logical_or(jnp.logical_and(A["pinf"], posz),
+                       jnp.logical_and(A["ninf"], negz)),
+        jnp.logical_or(jnp.logical_and(A["finp"], zrow["pinf"]),
+                       jnp.logical_and(A["finn"], zrow["ninf"])))
+    ninf_p = jnp.logical_or(
+        jnp.logical_or(jnp.logical_and(A["pinf"], negz),
+                       jnp.logical_and(A["ninf"], posz)),
+        jnp.logical_or(jnp.logical_and(A["finp"], zrow["ninf"]),
+                       jnp.logical_and(A["finn"], zrow["pinf"])))
+    return (jnp.any(nan_p, axis=1), jnp.any(pinf_p, axis=1),
+            jnp.any(ninf_p, axis=1))
+
+
+@partial(jax.jit, static_argnames=("beta_mode", "rows"))
+def _gemv_bits_auto(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
+                    beta_hi, beta_lo, y_hi, y_lo, beta_mode: str,
+                    rows: int):
+    """One jit: on-device coverage analysis, lax.switch over the MXU
+    byte-plane rung ladder with exact VPU fallback, per-row special
+    override.  All branches produce identical bits by construction."""
+    from .kernels.gemv_mxu import (analyze_gemv_rows, analyze_z,
+                                   gemv_bits_mxu, _rung_params)
+    from ..core.rounding import QNAN_BITS, NINF_BITS, PINF_BITS
+
+    zbits = f64_mul(
+        jnp.broadcast_to(alpha_hi, x_hi.shape),
+        jnp.broadcast_to(alpha_lo, x_lo.shape), x_hi, x_lo)
+    z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
+    z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    ea, spread_a, has_spec_a = analyze_gemv_rows(a_hi, a_lo)
+    f, spread_z, has_spec_z = analyze_z(z_hi, z_lo)
+    ea0 = jnp.where(ea < -9000, jnp.int32(0), ea)
+    f0 = jnp.where(f < -9000, jnp.int32(0), f)
+
+    if beta_mode != "zero":
+        t = dep.product_terms(
+            jnp.broadcast_to(beta_hi, y_hi.shape),
+            jnp.broadcast_to(beta_lo, y_lo.shape), y_hi, y_lo, 0)
+        by_nan = t["nan"] > 0
+        by_pinf = t["pinf"] > 0
+        by_ninf = t["ninf"] > 0
+        has_spec_by = jnp.any(jnp.logical_or(
+            by_nan, jnp.logical_or(by_pinf, by_ninf)))
+        covers = [
+            _mxu_beta_cover(y_hi, y_lo, beta_hi, beta_lo, ea0, f0,
+                            _rung_params(nwa, nwz, beta_mode)[4])
+            for nwa, nwz in _GEMV_RUNGS
+        ]
+    else:
+        by_nan = by_pinf = by_ninf = jnp.zeros(a_hi.shape[:1], jnp.bool_)
+        has_spec_by = jnp.bool_(False)
+        covers = [jnp.bool_(True)] * len(_GEMV_RUNGS)
+
+    def mxu_branch(nwa, nwz):
+        def fbr():
+            hi, lo = gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea0, f0,
+                                   y_hi, y_lo, beta_hi, beta_lo,
+                                   beta_mode, nwa=nwa, nwz=nwz)
+            return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
+        return fbr
+
+    def vpu_branch():
+        from .kernels.gemv_kernel import gemv_rows_acc_pallas
+
+        limbs, special = gemv_rows_acc_pallas(a_hi, a_lo, z_hi, z_lo,
+                                              k_rows=rows)
+        if beta_mode == "one":
+            limbs, special = deposit_terms_rows(
+                limbs, special, y_hi, y_lo)
+        elif beta_mode == "general":
+            m = y_hi.shape[0]
+            L = DOT_FORMAT.n_limbs
+            t = dep.product_terms(
+                jnp.broadcast_to(beta_hi, y_hi.shape),
+                jnp.broadcast_to(beta_lo, y_lo.shape),
+                y_hi, y_lo, DOT_FORMAT.offset_bits)
+            row_ids = jnp.arange(m, dtype=jnp.int32)
+            limbs = dep.segment_deposit_products(
+                limbs.reshape(-1), t, row_ids * L, L).reshape(m, L)
+            special = special + jnp.stack(
+                [t["nan"], t["pinf"], t["ninf"]], axis=-1)
+        return round_rows(limbs, special)
+
+    idx = jnp.int32(len(_GEMV_RUNGS))  # default: VPU fallback
+    for rung, ((nwa, nwz), cov) in reversed(
+            list(enumerate(zip(_GEMV_RUNGS, covers)))):
+        ok = jnp.logical_and(
+            jnp.logical_and(spread_a <= 32 * nwa, spread_z <= 32 * nwz),
+            cov)
+        idx = jnp.where(ok, jnp.int32(rung), idx)
+
+    bits = jax.lax.switch(
+        idx, [mxu_branch(nwa, nwz) for nwa, nwz in _GEMV_RUNGS]
+        + [vpu_branch])
+
+    # Per-row special override for the MXU branches (the VPU kernel counts
+    # specials natively); runs only when specials are actually present.
+    any_special = jnp.logical_or(
+        jnp.logical_or(has_spec_a, has_spec_z), has_spec_by)
+
+    def apply_override(bits):
+        nan_r, pinf_r, ninf_r = _gemv_special_rows(a_hi, a_lo, z_hi, z_lo)
+        nan_m = jnp.logical_or(nan_r, by_nan)
+        pos_m = jnp.logical_or(pinf_r, by_pinf)
+        neg_m = jnp.logical_or(ninf_r, by_ninf)
+        is_nan = jnp.logical_or(nan_m, jnp.logical_and(pos_m, neg_m))
+        out = jnp.where(neg_m, NINF_BITS, bits)
+        out = jnp.where(pos_m, PINF_BITS, out)
+        out = jnp.where(is_nan, QNAN_BITS, out)
+        return out
+
+    bits = jax.lax.cond(
+        jnp.logical_and(any_special, idx < len(_GEMV_RUNGS)),
+        apply_override, lambda b: b, bits)
+    return bits
+
+
 def _variant_rows(fpe: int, early_exit: bool) -> int:
     # k_rows * RENORM_EVERY bounded by limb carry slack (see gemv_kernel):
     # 2 * (k_rows/8) * 21 * 2^20 < 2^31 - 2^21  =>  k_rows <= 384.
@@ -212,9 +381,17 @@ def exgemv_bits(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
                      lo=jnp.zeros((m,), jnp.uint32))
 
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "auto" if jax.default_backend() == "tpu" else "xla"
     ah, al = _scalar_bits(alpha)
     bh, bl = _scalar_bits(beta)
+    if impl in ("auto", "mxu"):
+        from .kernels.gemv_mxu import MAX_K_MXU
+
+        if -(-n // 256) * 256 <= MAX_K_MXU:
+            return _gemv_bits_auto(ab.hi, ab.lo, xb.hi, xb.lo, ah, al,
+                                   bh, bl, yb.hi, yb.lo, beta_mode,
+                                   _variant_rows(fpe, early_exit))
+        impl = "pallas"  # k too large for the int32 slice sums
     return _gemv_bits_jit(ab.hi, ab.lo, xb.hi, xb.lo, ah, al, bh, bl,
                           yb.hi, yb.lo, impl, beta_mode,
                           _variant_rows(fpe, early_exit))

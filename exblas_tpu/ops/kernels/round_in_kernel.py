@@ -151,8 +151,14 @@ def _lsb20(d):
     return _msb20(d & (-d))
 
 
-def round_lanes_acc(dacc, spec, n_limbs, offset_bits):
+def round_lanes_acc(dacc, spec, n_limbs, offset_bits, e_adjust=None):
     """Correctly round all 128 lane accumulators of dacc (L, 128) at once.
+
+    ``offset_bits`` positions absolute accumulators (bit p of the
+    accumulator has exponent ``p - offset_bits``).  For *relative*
+    accumulators pass ``e_adjust`` (a (1, 128) int32 row): bit p then has
+    exponent ``p + e_adjust[lane]`` (used by the MXU GEMV kernel whose
+    accumulator is anchored per output row).
 
     Pass 1 canonicalizes (sequential carry chain over L limbs) *with
     write-back* -- dacc limbs stay canonical, so per-step deposit growth can
@@ -232,7 +238,10 @@ def round_lanes_acc(dacc, spec, n_limbs, offset_bits):
     m55_lo = w_lo
 
     sign = jnp.where(negative, _I(1), _I(0))
-    e_msb = p_msb - _I(offset_bits)
+    if e_adjust is None:
+        e_msb = p_msb - _I(offset_bits)
+    else:
+        e_msb = p_msb + e_adjust
     hi32, lo32 = ieee_encode_round_pair(sign, e_msb, m55_hi, m55_lo, sticky)
 
     is_zero = p_msb < 0

@@ -1,0 +1,158 @@
+"""MXU byte-plane ExGEMV (gemv_mxu) vs the exact XLA path.
+
+Runs the Pallas TPU kernel in *interpret* mode on CPU; every case must be
+bit-identical to the XLA segment-sum reference (dot_rows_acc_xla +
+round_rows), including the auto-dispatch ladder, fallbacks, beta modes,
+specials, and subnormals.  (Hardware equivalents live in
+test_tpu_kernels.py.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from exblas_tpu.core.ieee import split_f64
+from exblas_tpu.ops.exgemv import (_gemv_bits_auto, _gemv_bits_jit,
+                                   _scalar_bits)
+
+
+def _bits_xla(a, z_vecscale_alpha, x, beta, y, beta_mode):
+    ab = split_f64(a)
+    xb = split_f64(x)
+    yb = split_f64(y if y is not None else np.zeros(a.shape[0]))
+    ah, al = _scalar_bits(z_vecscale_alpha)
+    bh, bl = _scalar_bits(beta)
+    return np.asarray(
+        _gemv_bits_jit(ab.hi, ab.lo, xb.hi, xb.lo, ah, al, bh, bl,
+                       yb.hi, yb.lo, "xla", beta_mode, 128))
+
+
+def _bits_auto(a, alpha, x, beta, y, beta_mode):
+    ab = split_f64(a)
+    xb = split_f64(x)
+    yb = split_f64(y if y is not None else np.zeros(a.shape[0]))
+    ah, al = _scalar_bits(alpha)
+    bh, bl = _scalar_bits(beta)
+    with pltpu.force_tpu_interpret_mode():
+        return np.asarray(
+            _gemv_bits_auto(ab.hi, ab.lo, xb.hi, xb.lo, ah, al, bh, bl,
+                            yb.hi, yb.lo, beta_mode, 128))
+
+
+def _check(a, x, alpha=1.0, beta=0.0, y=None, label=""):
+    beta_mode = ("zero" if beta == 0.0 else
+                 "one" if beta == 1.0 else "general")
+    got = _bits_auto(a, alpha, x, beta, y, beta_mode)
+    want = _bits_xla(a, alpha, x, beta, y, beta_mode)
+    neq = got != want
+    assert not neq.any(), (
+        f"{label}: {int(neq.sum())}/{neq.size} rows differ; first at "
+        f"{int(np.argmax(neq))}: got {got[np.argmax(neq)]:#x} want "
+        f"{want[np.argmax(neq)]:#x}")
+
+
+@pytest.mark.parametrize("m,k", [(130, 300), (128, 256), (64, 100)])
+def test_mxu_gemv_uniform(m, k):
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0.5, 1.0, (m, k)) * np.where(
+        rng.uniform(size=(m, k)) < 0.5, -1.0, 1.0)
+    a.ravel()[::13] = 0.0
+    x = rng.uniform(0.5, 1.0, (k,)) * np.where(
+        rng.uniform(size=(k,)) < 0.5, -1.0, 1.0)
+    _check(a, x, label=f"uniform {m}x{k}")
+
+
+def test_mxu_gemv_alpha_beta():
+    rng = np.random.default_rng(12)
+    m, k = 129, 257
+    a = rng.uniform(-1.0, 1.0, (m, k))
+    x = rng.uniform(-1.0, 1.0, (k,))
+    y = rng.uniform(-4.0, 4.0, (m,))
+    _check(a, x, alpha=3.7, beta=2.5, y=y, label="alpha/beta")
+    _check(a, x, alpha=-0.125, beta=1.0, y=y, label="beta=1")
+    _check(a, x, alpha=1.0, beta=0.0, y=None, label="beta=0")
+
+
+def test_mxu_gemv_row_anchors():
+    """Rows at wildly different scales (per-row anchors must localize)."""
+    rng = np.random.default_rng(13)
+    m, k = 128, 256
+    a = rng.uniform(0.5, 1.0, (m, k))
+    scales = np.exp2(rng.integers(-300, 300, (m,)).astype(np.float64))
+    a = a * scales[:, None]
+    x = rng.uniform(0.5, 1.0, (k,))
+    _check(a, x, label="row anchors")
+
+
+def test_mxu_gemv_rung2_and_fallback():
+    rng = np.random.default_rng(14)
+    m, k = 64, 256
+    # spread ~ 78 bits within each row -> needs the (3, 3) rung
+    a = rng.uniform(0.5, 1.0, (m, k))
+    a[:, ::3] *= np.float64(2.0) ** -25
+    x = rng.uniform(0.5, 1.0, (k,))
+    _check(a, x, label="rung2 a-spread")
+    # z spread ~ 83 bits -> rung 2 via z
+    a2 = rng.uniform(0.5, 1.0, (m, k))
+    x2 = rng.uniform(0.5, 1.0, (k,))
+    x2[::3] *= np.float64(2.0) ** -30
+    _check(a2, x2, label="rung2 z-spread")
+    # spread > 96 bits -> exact VPU fallback
+    a3 = rng.uniform(0.5, 1.0, (m, k))
+    a3[:, ::5] *= np.float64(2.0) ** -60
+    _check(a3, x, label="fallback wide a")
+
+
+def test_mxu_gemv_tiny_and_subnormal():
+    rng = np.random.default_rng(15)
+    m, k = 64, 256
+    # hi-invisible nonzero subnormals force the a_lo coverage pass and,
+    # with normal-range anchors, the VPU fallback -- bits must still match
+    a = rng.uniform(0.5, 1.0, (m, k))
+    a[:, 7] = 5e-324
+    x = rng.uniform(0.5, 1.0, (k,))
+    _check(a, x, label="tiny subnormal in a")
+    # all-subnormal rows stay on the MXU path
+    a2 = rng.uniform(0.5, 1.0, (m, k)) * 2.0 ** -1060
+    _check(a2, x, label="subnormal rows")
+    # subnormal z
+    x2 = rng.uniform(0.5, 1.0, (k,)) * 2.0 ** -1060
+    a3 = rng.uniform(0.5, 1.0, (m, k))
+    _check(a3, x2, label="subnormal z")
+
+
+def test_mxu_gemv_specials():
+    rng = np.random.default_rng(16)
+    m, k = 64, 256
+    a = rng.uniform(0.5, 1.0, (m, k))
+    a[3, 5] = np.inf
+    a[9, 0] = -np.inf
+    a[17, 100] = np.nan
+    x = rng.uniform(0.5, 1.0, (k,))
+    _check(a, x, label="specials in a")
+    x2 = x.copy()
+    x2[50] = np.inf
+    _check(rng.uniform(0.5, 1.0, (m, k)), x2, label="inf in z")
+    # beta*y specials
+    y = rng.uniform(-1.0, 1.0, (m,))
+    y[5] = np.nan
+    y[11] = np.inf
+    _check(a, x, beta=2.0, y=y, label="special beta*y")
+
+
+def test_mxu_gemv_cancellation():
+    """Massive cancellation: the exact path must survive it bitwise."""
+    rng = np.random.default_rng(17)
+    m, k = 64, 256
+    a = rng.uniform(0.5, 1.0, (m, k // 2))
+    a = np.concatenate([a, -a], axis=1)        # rows sum to exactly 0 vs x=1
+    x = np.ones((k,))
+    _check(a, x, label="exact cancellation")
+    # near-total cancellation with epsilon remainders
+    a2 = np.concatenate([a[:, :k // 2], -a[:, :k // 2] * (1 + 2.0 ** -52)],
+                        axis=1)
+    _check(a2, x, label="epsilon cancellation")

@@ -177,3 +177,44 @@ def test_exgemm_auto_is_jittable():
     got = np.asarray(f(ab.hi, ab.lo, bb.hi, bb.lo)).view(np.float64)
     want = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="pallas")
     assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+# ---------------------------------------------------------------------------
+# MXU GEMV: byte-plane path, rung ladder, beta modes, specials
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("alpha,beta", [(1.0, 0.0), (3.7, 1.0), (-0.5, 2.5)])
+def test_gemv_mxu_matches_xla(alpha, beta):
+    import exblas_tpu as xb
+    m, k = 300, 500
+    a = xb.init_fpuniform_matrix(m, k, 12, 0, seed=60)
+    x = xb.init_fpuniform(k, 12, 0, seed=61)
+    y = xb.init_fpuniform(m, 14, -3, seed=62) if beta else None
+    got = xb.exgemv("N", alpha, a, x, beta=beta, y=y, impl="auto")
+    want = xb.exgemv("N", alpha, a, x, beta=beta, y=y, impl="xla")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+def test_gemv_mxu_rungs_specials_fallback():
+    import exblas_tpu as xb
+    m, k = 200, 384
+    # rung 2 (96-bit anchored window)
+    a = xb.init_fpuniform_matrix(m, k, 70, 0, seed=63)
+    x = xb.init_fpuniform(k, 12, 0, seed=64)
+    got = xb.exgemv("N", 1.0, a, x, impl="auto")
+    want = xb.exgemv("N", 1.0, a, x, impl="xla")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
+    # specials override
+    a2 = xb.init_fpuniform_matrix(m, k, 12, 0, seed=65)
+    a2[3, 5] = np.inf
+    a2[9, 0] = np.nan
+    x2 = x.copy()
+    x2[50] = -np.inf
+    got = xb.exgemv("N", 1.0, a2, x2, impl="auto")
+    want = xb.exgemv("N", 1.0, a2, x2, impl="xla")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
+    # wide spread -> exact VPU fallback inside the same jit
+    a3 = xb.init_fpuniform_matrix(m, k, 200, 0, seed=66)
+    got = xb.exgemv("N", 1.0, a3, x, impl="auto")
+    want = xb.exgemv("N", 1.0, a3, x, impl="xla")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
