@@ -54,28 +54,37 @@ _I64 = jnp.int64
 _U64 = jnp.uint64
 _Z = _np.int32(0)
 
-# Largest padded k the int32 slice-sum accumulators can take without a
-# spill pass: |sum_k (b-128)*d| <= k * 2^14 must stay < 2^30.
-MAX_K_MXU = 32768
+# Largest k slice-sum run between limb spills: |sum_k (b-128)*d| <= k * 2^14
+# must stay < 2^30 so _deposit_row3 pieces fit, hence k_run <= 2^15.
+SPILL_K = 32768
+SPILL_TILES = SPILL_K // KT
+
+# Total-k cap: every spill grows a relative-accumulator limb by <~ 6*2^20,
+# so 128 spills stay comfortably inside the int32 carry slack (2^31 - 2^21).
+MAX_K_MXU = 128 * SPILL_K
 
 # Extra headroom (bits above the anchor base e_base = E_i + F + 2) that
 # beta*y products may occupy; coverage-checked by the dispatcher.
 MXU_BETA_HEAD = 36
 
 
-def _rung_params(nwa: int, nwz: int, beta_mode: str):
+def _rung_params(nwa: int, nwz: int, beta_mode: str, k_pad: int = SPILL_K):
     """Static geometry for a (nwa, nwz)-word rung.
 
     nwa: 32-bit words per A element (2 or 3 -> W = 64 / 96 anchored bits).
     nwz: words per z element (Wz = 64 / 96; NZ = Wz/8 + 1 balanced digits).
+    k_pad: padded column count -- class totals reach k_pad * 2^14, so the
+    accumulator top grows by log2(k_pad / 2^15) bits beyond the one-spill
+    geometry.
     """
     w_a = 32 * nwa
     w_z = 32 * nwz
     ns = w_a // 8
     nz = w_z // 8 + 1
     r0 = w_a + w_z            # acc bit 0 has exponent e_base - r0
-    top_bit = max(8 * (ns + nz - 2) + 30,     # plane x digit deposits
-                  w_a + 8 * (nz - 1) + 23)    # negm x digit deposits
+    extra = max(0, (max(k_pad, 1) - 1).bit_length() - 15)
+    top_bit = max(8 * (ns + nz - 2) + 30 + extra,  # plane x digit deposits
+                  w_a + 8 * (nz - 1) + 23 + extra)  # negm x digit deposits
     l_rel = -(-(top_bit + 2) // LIMB_BITS) + 1
     if beta_mode != "zero":
         l_rel += 3
@@ -340,14 +349,16 @@ def _deposit_beta_y(acc, y_hi, y_lo, bb_hi, bb_lo, e_base, r0, l_rel):
 def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref, corr_ref,
                      ebase_ref, y_hi_ref, y_lo_ref, bb_hi_ref, bb_lo_ref,
                      yhi_out, ylo_out, macc, cacc, arel,
-                     *, nwa, nwz, beta_mode):
-    w_a, w_z, ns, nz, r0, l_rel = _rung_params(nwa, nwz, beta_mode)
+                     *, nwa, nwz, beta_mode, k_pad, spill_tiles):
+    w_a, w_z, ns, nz, r0, l_rel = _rung_params(nwa, nwz, beta_mode, k_pad)
     ik = pl.program_id(1)
+    nk = pl.num_programs(1)
 
     @pl.when(ik == 0)
     def _():
         macc[...] = jnp.zeros_like(macc)
         cacc[...] = jnp.zeros_like(cacc)
+        arel[...] = jnp.zeros_like(arel)
 
     planes, negm = _slice_byte_planes(
         a_hi_ref[...], a_lo_ref[...], e_ref[:, 0:1], nwa)
@@ -360,22 +371,33 @@ def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref, corr_ref,
     cacc[...] += jax.lax.dot_general(
         zd, negm, (((1,), (1,)), ((), ())), preferred_element_type=_I)
 
-    @pl.when(ik == pl.num_programs(1) - 1)
+    # Spill the int32 slice sums into the limb accumulator every SPILL_TILES
+    # k-steps (so |macc row| <= SPILL_K * 2^14 < 2^30 always fits a
+    # _deposit_row3) and at the end.  Per-limb spill growth is <~ 6 * 2^20,
+    # so <= 128 spills (MAX_K_MXU) stay inside the int32 carry slack.
+    is_last = ik == nk - 1
+    spill = jnp.logical_or(
+        jnp.bitwise_and(ik + 1, _I(spill_tiles - 1)) == 0, is_last)
+
+    @pl.when(spill)
     def _():
-        arel[...] = jnp.zeros_like(arel)
-        # plane x digit deposits at bit 8(s+t); per-limb-row totals stay
-        # far below int32 (|macc row| <= k * 2^14 <= 2^29, ~3 overlapping
-        # positions x <= min(ns, nz) pairs each of <= 2^20 pieces).
+        # plane x digit deposits at bit 8(s+t); ~3 overlapping positions
+        # x <= min(ns, nz) pairs each of <= 2^20 pieces per spill.
         for s in range(ns):
             for t in range(nz):
                 q, r = divmod(8 * (s + t), LIMB_BITS)
                 _deposit_row3(arel, macc[pl.ds(s * 32 + t, 1), :], q, r)
-        # excess-128 compensation (global limb constant, all lanes)
-        arel[...] += corr_ref[...]
         # two's-complement sign correction: -2^(W) * sum_k negm * z
         for t in range(nz):
             q, r = divmod(w_a + 8 * t, LIMB_BITS)
             _deposit_row3(arel, cacc[pl.ds(t, 1), :], q, r, sign=-1)
+        macc[...] = jnp.zeros_like(macc)
+        cacc[...] = jnp.zeros_like(cacc)
+
+    @pl.when(is_last)
+    def _():
+        # excess-128 compensation (global limb constant, all lanes)
+        arel[...] += corr_ref[...]
         e_base = ebase_ref[0]
         if beta_mode != "zero":
             _deposit_beta_y(arel, y_hi_ref[0], y_lo_ref[0],
@@ -388,10 +410,12 @@ def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref, corr_ref,
         ylo_out[0] = lo32
 
 
-@functools.partial(jax.jit, static_argnames=("nwa", "nwz", "beta_mode"))
+@functools.partial(jax.jit, static_argnames=("nwa", "nwz", "beta_mode",
+                                             "spill_tiles"))
 def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
                   y_hi=None, y_lo=None, beta_hi=None, beta_lo=None,
-                  beta_mode: str = "zero", nwa: int = 2, nwz: int = 2):
+                  beta_mode: str = "zero", nwa: int = 2, nwz: int = 2,
+                  spill_tiles: int = SPILL_TILES):
     """y = beta*y + A @ z via the exact MXU byte-plane path.
 
     a: (m, k) bit pairs; z: (k,) bit pairs (already alpha-scaled);
@@ -402,11 +426,12 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
 
     Returns (hi, lo) uint32 (m,) -- bit-identical to the VPU/XLA paths.
     """
-    w_a, w_z, ns, nz, r0, l_rel = _rung_params(nwa, nwz, beta_mode)
     m, k = a_hi.shape
     m_pad = -(-m // LANES) * LANES
     k_pad = -(-k // KT) * KT
     assert k_pad <= MAX_K_MXU
+    assert (spill_tiles & (spill_tiles - 1)) == 0 and spill_tiles <= SPILL_TILES
+    w_a, w_z, ns, nz, r0, l_rel = _rung_params(nwa, nwz, beta_mode, k_pad)
     a_hi = jnp.pad(a_hi, ((0, m_pad - m), (0, k_pad - k)))
     a_lo = jnp.pad(a_lo, ((0, m_pad - m), (0, k_pad - k)))
     z_hi = jnp.pad(z_hi, (0, k_pad - k))
@@ -440,7 +465,8 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
 
     hi, lo = pl.pallas_call(
         functools.partial(_gemv_mxu_kernel, nwa=nwa, nwz=nwz,
-                          beta_mode=beta_mode),
+                          beta_mode=beta_mode, k_pad=k_pad,
+                          spill_tiles=spill_tiles),
         grid=(m_blocks, k_blocks),
         in_specs=[
             pl.BlockSpec((LANES, KT), lambda i, j: (i, j),

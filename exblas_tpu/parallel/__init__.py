@@ -4,11 +4,14 @@ from .distributed import (
     make_mesh,
     psum_superacc,
 )
-from .blas2 import exgemm_sharded, exgemv_sharded, exgemv_sharded_2d, make_mesh_2d
+from .blas2 import (exgemm_sharded, exgemm_sharded_2d, exgemm_sharded_k,
+                    exgemv_sharded, exgemv_sharded_2d, make_mesh_2d)
 
 __all__ = [
     "exdot_sharded",
     "exgemm_sharded",
+    "exgemm_sharded_2d",
+    "exgemm_sharded_k",
     "exgemv_sharded",
     "exgemv_sharded_2d",
     "exsum_sharded",

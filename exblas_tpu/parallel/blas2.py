@@ -164,3 +164,81 @@ def exgemm_sharded(a, b, mesh: Mesh | None = None, axis: str = AXIS,
         return bits.reshape(a_hi.shape[0], b_hi.shape[1])
 
     return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)
+
+
+def exgemm_sharded_2d(a, b, mesh: Mesh | None = None,
+                      impl: str | None = None):
+    """Reproducible C = A@B over a 2-D (rows, cols) mesh.
+
+    The classic tensor-parallel BLAS-3 layout: A row-sharded, B
+    column-sharded, C block-sharded on return; k stays on-device so each
+    block is produced by the fast local kernel with no cross-device
+    reduction.  Bit-identical to the single-device result for every mesh
+    shape (each C element is the same exact accumulation).
+    """
+    mesh = mesh or make_mesh_2d((1, len(jax.devices())),
+                                axes=("rows", "cols"))
+    row_ax, col_ax = mesh.axis_names
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    ab = split_f64(np.asarray(a, np.float64))
+    bb = split_f64(np.asarray(b, np.float64))
+    m = ab.hi.shape[0]
+    n = bb.hi.shape[1]
+    if m % mesh.shape[row_ax] or n % mesh.shape[col_ax]:
+        raise ValueError(
+            f"({m}, {n}) must divide the mesh shape {dict(mesh.shape)}")
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(row_ax), P(row_ax), P(None, col_ax),
+                       P(None, col_ax)),
+             out_specs=P(row_ax, col_ax), check_vma=False)
+    def run(a_hi, a_lo, b_hi, b_lo):
+        if impl == "pallas":
+            from ..ops.kernels.gemm_kernel import gemm_bits_pallas
+
+            z = jnp.zeros((a_hi.shape[0], b_hi.shape[1]), jnp.uint32)
+            hi, lo = gemm_bits_pallas(a_hi, a_lo, b_hi, b_lo, z, z,
+                                      jnp.uint32(0), jnp.uint32(0), "zero")
+            return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
+        from ..ops.exgemm import gemm_acc_xla
+
+        limbs, special = gemm_acc_xla(a_hi, a_lo, b_hi, b_lo)
+        return round_rows(limbs, special).reshape(
+            a_hi.shape[0], b_hi.shape[1])
+
+    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)
+
+
+def exgemm_sharded_k(a, b, mesh: Mesh | None = None, axis: str = AXIS):
+    """Reproducible C = A@B with the k (reduction) axis sharded.
+
+    Each device deposits its k-slice of products into exact per-element
+    limb accumulators; an integer ``psum`` merges them (the BLAS-3 analog
+    of the reference's limb-wise MPI_Reduce) and one rounding finishes.
+    Mesh size cannot change a bit by construction.  Uses the XLA
+    accumulator path (the Pallas GEMM kernels round in-kernel and so have
+    no pre-round limb output); intended as the decomposition-invariance
+    anchor, not a throughput path -- shard rows/cols for speed.
+    """
+    mesh = mesh or make_mesh()
+    nd = mesh.devices.size
+    ab = split_f64(np.asarray(a, np.float64))
+    bb = split_f64(np.asarray(b, np.float64))
+    m, k = ab.hi.shape
+    n = bb.hi.shape[1]
+    if k % nd:
+        raise ValueError(f"k={k} must divide the mesh size {nd}")
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
+             out_specs=P(), check_vma=False)
+    def run(a_hi, a_lo, b_hi, b_lo):
+        from ..ops.exgemm import gemm_acc_xla
+
+        limbs, special = gemm_acc_xla(a_hi, a_lo, b_hi, b_lo)
+        limbs = jax.lax.psum(limbs, axis)
+        special = jax.lax.psum(special, axis)
+        return round_rows(limbs, special).reshape(m, n)
+
+    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)

@@ -30,6 +30,7 @@ sys.path.insert(
 
 from oracle import (  # noqa: E402
     assert_same_bits,
+    assert_same_bits_arr,
     exact_dot,
     exact_sum_with_specials,
     native_dot,
@@ -122,12 +123,81 @@ def exact_dot_with_specials(a, b) -> float:
     return exact_dot(a[finite_mask], b[finite_mask])
 
 
+_ALPHAS = (1.0, -1.0, 0.5, 3.7, -0.125)
+_BETAS = (0.0, 0.0, 1.0, 2.5, -0.25)
+
+
+def _dot_oracle_terms(u, v) -> float:
+    """Exact correctly-rounded sum of products u[i]*v[i] incl. specials."""
+    u = np.ascontiguousarray(u, np.float64)
+    v = np.ascontiguousarray(v, np.float64)
+    return (_DOT_ORACLE or exact_dot_with_specials)(u, v)
+
+
+def _oracle_gemv(trans, alpha, a, x, beta, y):
+    """fl(alpha*x), exact per-row dot + exact beta*y product, one round."""
+    op = a.T if trans == "T" else a
+    m = op.shape[0]
+    z = np.float64(alpha) * np.asarray(x, np.float64)
+    out = np.empty(m)
+    for i in range(m):
+        if beta == 0.0:
+            out[i] = _dot_oracle_terms(op[i], z)
+        else:
+            out[i] = _dot_oracle_terms(
+                np.concatenate([op[i], [np.float64(beta)]]),
+                np.concatenate([z, [np.float64(y[i])]]))
+    return out
+
+
+def _oracle_gemm(alpha, a, b, beta, c):
+    """fl(alpha*a) elementwise, exact per-element dot + exact beta*c."""
+    m, k = a.shape
+    n = b.shape[1]
+    z = np.float64(alpha) * np.asarray(a, np.float64)
+    out = np.empty((m, n))
+    for i in range(m):
+        for j in range(n):
+            if beta == 0.0 or c is None:
+                out[i, j] = _dot_oracle_terms(z[i], b[:, j])
+            else:
+                out[i, j] = _dot_oracle_terms(
+                    np.concatenate([z[i], [np.float64(beta)]]),
+                    np.concatenate([b[:, j], [np.float64(c[i, j])]]))
+    return out
+
+
+def _oracle_trsv_lower(a, b, unit):
+    """Spec replay: exact residual, correctly rounded Round + divide.
+
+    The divide is plain Python float division -- IEEE double division IS
+    the correctly rounded quotient, and unlike Fraction division it keeps
+    IEEE zero signs (0 / -d = -0.0, which the routine reproduces).
+    """
+    from fractions import Fraction
+
+    n = len(b)
+    acc = [Fraction(float(v)) for v in b]
+    x = np.empty(n)
+    for i in range(n):
+        num = float(acc[i])
+        x[i] = num if unit else num / float(a[i, i])
+        for j in range(i + 1, n):
+            acc[j] -= Fraction(float(a[j, i])) * Fraction(float(x[i]))
+    return x
+
+
+def _gen_matrix(dist, m, k, rng):
+    return gen_vector(dist, m * k, rng).reshape(m, k)
+
+
 def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
     """One fuzz case; raises AssertionError with full reproduction info."""
     import exblas_tpu as xb
 
     rng = np.random.RandomState((campaign_seed * 1000003 + idx) % 2 ** 31)
-    routine = ["exsum", "exdot"][int(rng.randint(2))]
+    routine = ["exsum", "exsum", "exsum", "exdot", "exdot", "exdot",
+               "exgemv", "exgemm", "extrsv"][int(rng.randint(9))]
     dist = DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))]
     n = int(rng.randint(1, max_n + 1))
     fpe = int(rng.randint(0, 9))
@@ -146,7 +216,7 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
         p = rng.permutation(n)
         got_p = xb.exsum(x[p], fpe=fpe, early_exit=early_exit, impl=impl)
         assert_same_bits(got_p, got, label + " [permuted]")
-    else:
+    elif routine == "exdot":
         a = gen_vector(dist, n, rng)
         b = gen_vector(DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))],
                        n, rng)
@@ -157,6 +227,99 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
         got_p = xb.exdot(a[p], b[p], fpe=fpe, early_exit=early_exit,
                          impl=impl)
         assert_same_bits(got_p, got, label + " [permuted]")
+    elif routine == "exgemv":
+        m = int(rng.randint(1, 65))
+        k = int(rng.randint(1, 97))
+        trans = ["N", "T"][int(rng.randint(2))]
+        alpha = _ALPHAS[int(rng.randint(len(_ALPHAS)))]
+        beta = _BETAS[int(rng.randint(len(_BETAS)))]
+        a = _gen_matrix(dist, m, k, rng)
+        xv = gen_vector(
+            DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))],
+            m if trans == "T" else k, rng)
+        out_len = k if trans == "T" else m
+        y = (gen_vector("fpuniform_large", out_len, rng)
+             if beta != 0.0 else None)
+        # on TPU "pallas" maps to the full product path (MXU ladder + VPU)
+        gv_impl = "auto" if impl == "pallas" else impl
+        label = (f"case {idx} (seed {campaign_seed}): exgemv {dist} "
+                 f"{trans} {m}x{k} alpha={alpha} beta={beta} fpe={fpe} "
+                 f"impl={gv_impl}")
+        got = xb.exgemv(trans, alpha, a, xv, beta=beta, y=y, fpe=fpe,
+                        early_exit=early_exit, impl=gv_impl)
+        want = _oracle_gemv(trans, alpha, a, xv, beta, y)
+        assert_same_bits_arr(got, want, label)
+        # reproducibility under k-permutation
+        kk = m if trans == "T" else k
+        p = rng.permutation(kk)
+        ap = a[p, :] if trans == "T" else a[:, p]
+        got_p = xb.exgemv(trans, alpha, ap, xv[p], beta=beta, y=y,
+                          fpe=fpe, early_exit=early_exit, impl=gv_impl)
+        assert_same_bits_arr(got_p, got, label + " [k-permuted]")
+    elif routine == "exgemm":
+        m = int(rng.randint(1, 33))
+        k = int(rng.randint(1, 49))
+        nn = int(rng.randint(1, 33))
+        alpha = _ALPHAS[int(rng.randint(len(_ALPHAS)))]
+        beta = _BETAS[int(rng.randint(len(_BETAS)))]
+        a = _gen_matrix(dist, m, k, rng)
+        b = _gen_matrix(
+            DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))],
+            k, nn, rng)
+        c = (_gen_matrix("fpuniform_large", m, nn, rng)
+             if beta != 0.0 else None)
+        gm_impl = "mxu" if impl == "pallas" else impl
+        label = (f"case {idx} (seed {campaign_seed}): exgemm {dist} "
+                 f"{m}x{k}x{nn} alpha={alpha} beta={beta} impl={gm_impl}")
+        got = xb.exgemm("N", "N", alpha, a, b, beta=beta, c=c, fpe=fpe,
+                        early_exit=early_exit, impl=gm_impl)
+        want = _oracle_gemm(alpha, a, b, beta, c)
+        assert_same_bits_arr(got, want, label)
+        p = rng.permutation(k)
+        got_p = xb.exgemm("N", "N", alpha, a[:, p], b[p, :], beta=beta,
+                          c=c, fpe=fpe, early_exit=early_exit,
+                          impl=gm_impl)
+        assert_same_bits_arr(got_p, got, label + " [k-permuted]")
+    else:  # extrsv: finite data, nonzero diagonal (specials are covered
+        # by the dedicated hardware/edge tests; Fraction oracle can't
+        # follow Inf chains)
+        safe = {"special_laced": "fpuniform_std",
+                "subnormal_heavy": "fpuniform_std",
+                "fpuniform_full": "fpuniform_large"}
+        tdist = safe.get(dist, dist)
+        nt = int(rng.randint(1, 97))
+        uplo = ["L", "U"][int(rng.randint(2))]
+        diag = ["N", "U"][int(rng.randint(2))]
+        m0 = _gen_matrix(tdist, nt, nt, rng)
+        a = np.tril(m0) if uplo == "L" else np.triu(m0)
+        idxd = np.arange(nt)
+        a[idxd, idxd] = 0.0
+        # bound solution growth: per-step amplification <= 1 + 1/4
+        # (so |x| <= |b|max * 1.25^n stays far from overflow and the
+        # Fraction oracle can always round); power-of-2 scale keeps the
+        # mantissa bit patterns of the distribution intact
+        off_max = float(np.max(np.abs(a))) if nt > 1 else 0.0
+        if off_max > 0.0:
+            s = 2.0 ** -max(0, int(np.ceil(np.log2(off_max * nt * 4))))
+            a *= s
+        a[idxd, idxd] = (gen_vector("fpuniform_std", nt, rng) + 1.0) * (
+            np.where(rng.rand(nt) < 0.5, -1.0, 1.0))
+        b = gen_vector(tdist, nt, rng)
+        label = (f"case {idx} (seed {campaign_seed}): extrsv {tdist} "
+                 f"{uplo}{diag} n={nt} fpe={fpe} impl={impl}")
+        got = xb.extrsv(uplo, "N", diag, a, b, fpe=fpe,
+                        early_exit=early_exit, impl=impl)
+        if uplo == "L":
+            want = _oracle_trsv_lower(a, b, unit=(diag == "U"))
+        else:
+            want = _oracle_trsv_lower(a[::-1, ::-1], b[::-1],
+                                      unit=(diag == "U"))[::-1]
+        assert_same_bits_arr(got, want, label)
+        # variant agreement: a different fpe/tiling must not change bits
+        fpe2 = 2 if fpe >= 5 else 8
+        got_v = xb.extrsv(uplo, "N", diag, a, b, fpe=fpe2,
+                          early_exit=not early_exit, impl=impl)
+        assert_same_bits_arr(got_v, got, label + f" [variant fpe={fpe2}]")
     return label
 
 

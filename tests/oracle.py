@@ -75,6 +75,22 @@ def assert_same_bits(a: float, b: float, msg: str = ""):
     )
 
 
+def assert_same_bits_arr(got, want, msg: str = ""):
+    """Elementwise bit equality of two float64 arrays (NaN == NaN)."""
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    assert got.shape == want.shape, f"{msg}: shape {got.shape}!={want.shape}"
+    same = got.view(np.uint64) == want.view(np.uint64)
+    # any-NaN payload counts as equal to any NaN
+    same |= np.isnan(got) & np.isnan(want)
+    assert same.all(), (
+        f"{msg}: {int((~same).sum())}/{same.size} elements differ; first "
+        f"at {np.unravel_index(int(np.argmax(~same.ravel())), got.shape)}: "
+        f"{got.ravel()[np.argmax(~same.ravel())]!r} vs "
+        f"{want.ravel()[np.argmax(~same.ravel())]!r}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Native C++ oracle (csrc/oracle.cpp): same semantics at native speed, used
 # for large fuzz campaigns and as a third independent implementation

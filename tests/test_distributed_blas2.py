@@ -34,6 +34,37 @@ def test_exgemm_sharded_mesh_invariance(nd):
             == want.view(np.uint64)).all(), nd
 
 
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_exgemm_sharded_2d_mesh_shape_invariance(shape):
+    from exblas_tpu.parallel import exgemm_sharded_2d, make_mesh_2d
+
+    m = k = n = 16
+    a = xb.init_fpuniform_matrix(m, k, 25, 0, seed=67)
+    b = xb.init_fpuniform_matrix(k, n, 25, 0, seed=68)
+    want = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="xla")
+    got = _f(exgemm_sharded_2d(
+        a, b, mesh=make_mesh_2d(shape, axes=("rows", "cols")),
+        impl="xla"))
+    assert (got.reshape(m, n).view(np.uint64)
+            == want.view(np.uint64)).all(), shape
+
+
+@pytest.mark.parametrize("nd", [1, 2, 8])
+def test_exgemm_sharded_k_mesh_invariance(nd):
+    """Reduction-axis sharding: exact limb psum merges the k-slices; the
+    mesh size must not change a bit (BLAS-3 analog of the reference's
+    limb-wise MPI_Reduce, src/cpu/blas/blas1/ExSUM.cpp:266-273)."""
+    from exblas_tpu.parallel import exgemm_sharded_k, make_mesh
+
+    m, k, n = 8, 16, 12
+    a = xb.init_fpuniform_matrix(m, k, 30, 0, seed=69)
+    b = xb.init_fpuniform_matrix(k, n, 30, 0, seed=70)
+    want = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="xla")
+    got = _f(exgemm_sharded_k(a, b, mesh=make_mesh(nd)))
+    assert (got.reshape(m, n).view(np.uint64)
+            == want.view(np.uint64)).all(), nd
+
+
 @pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2), (8, 1), (2, 2)])
 def test_exgemv_sharded_2d_mesh_shape_invariance(shape):
     from exblas_tpu.parallel import exgemv_sharded_2d, make_mesh_2d

@@ -144,6 +144,47 @@ def test_mxu_gemv_specials():
     _check(a, x, beta=2.0, y=y, label="special beta*y")
 
 
+def test_mxu_gemv_spill_invariance():
+    """k-spill path: forcing a spill every k-tile must not change bits
+    (the production cadence spills every 128 tiles = 32768 columns; the
+    magnitude bounds are analytic, the *logic* is exercised here)."""
+    from exblas_tpu.ops.kernels.gemv_mxu import (analyze_gemv_rows,
+                                                 analyze_z, gemv_bits_mxu)
+
+    rng = np.random.default_rng(18)
+    m, k = 64, 1536        # 6 k-tiles
+    # gemv_bits_mxu is called below the dispatcher, so the data must honor
+    # its coverage contract (per-row spread <= 64 bits): magnitudes in
+    # [0.5, 1) keep every element's spread at 53-54 bits.
+    sgn = lambda shape: np.where(rng.uniform(size=shape) < 0.5, -1.0, 1.0)
+    a = rng.uniform(0.5, 1.0, (m, k)) * sgn((m, k))
+    x = rng.uniform(0.5, 1.0, (k,)) * sgn((k,))
+    ab, xb = split_f64(a), split_f64(x)
+    with pltpu.force_tpu_interpret_mode():
+        ea, _, _ = analyze_gemv_rows(ab.hi, ab.lo)
+        f, _, _ = analyze_z(xb.hi, xb.lo)
+        outs = []
+        for st in (1, 2, 128):
+            hi, lo = gemv_bits_mxu(ab.hi, ab.lo, xb.hi, xb.lo, ea, f,
+                                   spill_tiles=st)
+            outs.append((np.asarray(hi).astype(np.uint64) << 32)
+                        | np.asarray(lo))
+    want = _bits_xla(a, 1.0, x, 0.0, None, "zero")
+    for st, got in zip((1, 2, 128), outs):
+        assert (got == want).all(), f"spill_tiles={st}"
+
+
+def test_mxu_gemv_multi_tile_auto():
+    """Multiple k-tiles through the full dispatcher: uniform(-1,1) data has
+    ~70-80-bit row spreads (tiny draws near zero), exercising the (3,3)
+    rung at k > 256."""
+    rng = np.random.default_rng(19)
+    m, k = 48, 1024
+    a = rng.uniform(-1.0, 1.0, (m, k))
+    x = rng.uniform(-1.0, 1.0, (k,))
+    _check(a, x, label="multi-tile auto")
+
+
 def test_mxu_gemv_cancellation():
     """Massive cancellation: the exact path must survive it bitwise."""
     rng = np.random.default_rng(17)
