@@ -63,6 +63,26 @@ def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
         if m % nd:
             raise ValueError(f"m={m} must divide the mesh size {nd}")
 
+        if impl in ("pallas", "auto") and n <= 2 ** 22:
+            # each device owns complete rows, so the full single-device
+            # auto dispatch (MXU byte-plane ladder + VPU fallback) applies
+            # per shard -- multi-chip GEMV runs at MXU speed
+            from ..ops.exgemv import _gemv_bits_auto, _scalar_bits
+
+            one_h, one_l = _scalar_bits(1.0)   # alpha already folded into z
+            zero_h, zero_l = _scalar_bits(0.0)
+
+            @partial(jax.shard_map, mesh=mesh,
+                     in_specs=(P(axis), P(axis), P(), P()),
+                     out_specs=P(axis), check_vma=False)
+            def run(a_hi, a_lo, z_hi, z_lo):
+                yz = jnp.zeros((a_hi.shape[0],), jnp.uint32)
+                return _gemv_bits_auto(a_hi, a_lo, z_hi, z_lo,
+                                       one_h, one_l, zero_h, zero_l,
+                                       yz, yz, "zero", 128)
+
+            return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo)
+
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(axis), P(axis), P(), P()),
                  out_specs=P(axis), check_vma=False)

@@ -65,6 +65,23 @@ def test_exgemm_sharded_k_mesh_invariance(nd):
             == want.view(np.uint64)).all(), nd
 
 
+@pytest.mark.parametrize("nd", [1, 2, 4])
+def test_exgemv_sharded_rows_auto_path(nd):
+    """Rows-sharded GEMV through the full MXU auto dispatch (interpret
+    mode): each device owns complete rows, so the single-device auto
+    ladder applies per shard and bits must match the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n = 32, 64
+    a = xb.init_fpuniform_matrix(m, n, 12, 0, seed=71)
+    x = xb.init_fpuniform(n, 12, 0, seed=72)
+    want = xb.exgemv("N", 2.0, a, x, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = _f(exgemv_sharded(a, x, alpha=2.0, mesh=make_mesh(nd),
+                                shard="rows", impl="auto"))
+    assert (got.view(np.uint64) == want.view(np.uint64)).all(), nd
+
+
 @pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2), (8, 1), (2, 2)])
 def test_exgemv_sharded_2d_mesh_shape_invariance(shape):
     from exblas_tpu.parallel import exgemv_sharded_2d, make_mesh_2d

@@ -218,3 +218,18 @@ def test_gemv_mxu_rungs_specials_fallback():
     got = xb.exgemv("N", 1.0, a3, x, impl="auto")
     want = xb.exgemv("N", 1.0, a3, x, impl="xla")
     assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+def test_exgemv_sharded_rows_auto_on_chip():
+    """Rows-sharded GEMV on a real 1-device mesh rides the MXU auto path."""
+    import numpy as np
+    import exblas_tpu as xb
+    from exblas_tpu.parallel import exgemv_sharded, make_mesh
+
+    m, k = 256, 512
+    a = xb.init_fpuniform_matrix(m, k, 12, 0, seed=80)
+    x = xb.init_fpuniform(k, 12, 0, seed=81)
+    got = np.asarray(exgemv_sharded(
+        a, x, alpha=1.5, mesh=make_mesh(1), shard="rows")).view(np.float64)
+    want = xb.exgemv("N", 1.5, a, x, impl="xla")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
