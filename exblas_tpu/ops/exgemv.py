@@ -115,11 +115,19 @@ def _gemv_bits_jit(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
     else:
         limbs, special = dot_rows_acc_xla(a_hi, a_lo, z_hi, z_lo)
 
+    limbs, special = _apply_beta_rows(limbs, special, beta_hi, beta_lo,
+                                      y_hi, y_lo, beta_mode)
+    return round_rows(limbs, special)
+
+
+def _apply_beta_rows(limbs, special, beta_hi, beta_lo, y_hi, y_lo,
+                     beta_mode: str):
+    """Deposit the beta term into per-row accumulators: y_i exactly for
+    beta == 1, the exact 106-bit product beta*y_i for general beta
+    (mirroring the reference's EFT beta cases, ExGEMV.Superacc.cl:259-293)."""
     if beta_mode == "one":
-        limbs, special = deposit_terms_rows(limbs, special, y_hi, y_lo)
-    elif beta_mode == "general":
-        # beta*y is deposited *exactly* (106-bit product), mirroring the
-        # reference's EFT handling of the general-beta case.
+        return deposit_terms_rows(limbs, special, y_hi, y_lo)
+    if beta_mode == "general":
         m = y_hi.shape[0]
         L = DOT_FORMAT.n_limbs
         t = dep.product_terms(
@@ -131,8 +139,7 @@ def _gemv_bits_jit(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
             limbs.reshape(-1), t, row_ids * L, L).reshape(m, L)
         special = special + jnp.stack(
             [t["nan"], t["pinf"], t["ninf"]], axis=-1)
-
-    return round_rows(limbs, special)
+    return limbs, special
 
 
 def _validate_fpe(fpe: int):
@@ -154,9 +161,9 @@ def _mxu_beta_cover(y_hi, y_lo, beta_hi, beta_lo, ea0, f0, r0: int):
     from .kernels.gemv_mxu import MXU_BETA_HEAD
 
     _, expf_y, mhi_y, mlo_y = decode_fields(y_hi, y_lo)
-    zero_y, inf_y, nan_y = dep.classify(expf_y, mhi_y, mlo_y)
+    zero_y, _, _ = dep.classify(expf_y, mhi_y, mlo_y)
     _, expf_b, mhi_b, mlo_b = decode_fields(beta_hi, beta_lo)
-    zero_b, inf_b, nan_b = dep.classify(expf_b, mhi_b, mlo_b)
+    zero_b, _, _ = dep.classify(expf_b, mhi_b, mlo_b)
 
     e_lsb_y = jnp.maximum(expf_y, 1) - jnp.int32(1075)
     e_lsb_b = jnp.maximum(expf_b, 1) - jnp.int32(1075)
@@ -213,7 +220,6 @@ def _gemv_bits_auto(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
     override.  All branches produce identical bits by construction."""
     from .kernels.gemv_mxu import (analyze_gemv_rows, analyze_z,
                                    gemv_bits_mxu, _rung_params)
-    from ..core.rounding import QNAN_BITS, NINF_BITS, PINF_BITS
 
     zbits = f64_mul(
         jnp.broadcast_to(alpha_hi, x_hi.shape),
@@ -258,21 +264,8 @@ def _gemv_bits_auto(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
 
         limbs, special = gemv_rows_acc_pallas(a_hi, a_lo, z_hi, z_lo,
                                               k_rows=rows)
-        if beta_mode == "one":
-            limbs, special = deposit_terms_rows(
-                limbs, special, y_hi, y_lo)
-        elif beta_mode == "general":
-            m = y_hi.shape[0]
-            L = DOT_FORMAT.n_limbs
-            t = dep.product_terms(
-                jnp.broadcast_to(beta_hi, y_hi.shape),
-                jnp.broadcast_to(beta_lo, y_lo.shape),
-                y_hi, y_lo, DOT_FORMAT.offset_bits)
-            row_ids = jnp.arange(m, dtype=jnp.int32)
-            limbs = dep.segment_deposit_products(
-                limbs.reshape(-1), t, row_ids * L, L).reshape(m, L)
-            special = special + jnp.stack(
-                [t["nan"], t["pinf"], t["ninf"]], axis=-1)
+        limbs, special = _apply_beta_rows(limbs, special, beta_hi,
+                                          beta_lo, y_hi, y_lo, beta_mode)
         return round_rows(limbs, special)
 
     idx = jnp.int32(len(_GEMV_RUNGS))  # default: VPU fallback

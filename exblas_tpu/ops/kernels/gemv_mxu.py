@@ -59,8 +59,13 @@ _Z = _np.int32(0)
 SPILL_K = 32768
 SPILL_TILES = SPILL_K // KT
 
-# Total-k cap: every spill grows a relative-accumulator limb by <~ 6*2^20,
-# so 128 spills stay comfortably inside the int32 carry slack (2^31 - 2^21).
+# Each spill grows the busiest relative-accumulator limb by up to
+# ~3 piece positions x min(ns, nz) (s,t) pairs x 2^20 (p0/p1 deposit pieces
+# are NONNEGATIVE -- the sign travels in h2 two limbs up -- so growth is
+# monotone): <~ 40 * 2^20 ~ 2^25.5 per spill.  A value-preserving carry
+# pass every RENORM_SPILLS spills re-bounds the limbs
+# (16 * 2^25.5 ~ 2^29.5 << 2^31), making the 128-spill total-k cap safe.
+RENORM_SPILLS = 16
 MAX_K_MXU = 128 * SPILL_K
 
 # Extra headroom (bits above the anchor base e_base = E_i + F + 2) that
@@ -301,6 +306,22 @@ def _slice_byte_planes(a_hi, a_lo, erow, nwa: int):
     return planes, negm
 
 
+def _renorm_rel(acc):
+    """Value-preserving carry pass on the (l_rel, 128) relative accumulator:
+    each limb's bits above LIMB_BITS move up one row.  The top row is left
+    whole (any carry stays in place, as in the reference's Normalize,
+    superaccumulator.cpp:138-162), so no bits can ever be dropped."""
+    a = acc[...]
+    c = a >> _I(LIMB_BITS)          # arithmetic: floor, value-preserving
+    low = a - (c << _I(LIMB_BITS))
+    row = jax.lax.broadcasted_iota(_I, a.shape, 0)
+    top = _I(a.shape[0] - 1)
+    low = jnp.where(row == top, a, low)      # keep the top row whole
+    c_up = pltpu.roll(c, shift=jnp.int32(1), axis=0)
+    c_up = jnp.where(row == 0, _I(0), c_up)
+    acc[...] = low + c_up
+
+
 def _deposit_row3(acc, v, q: int, r: int, sign: int = 1):
     """acc[q..q+2] += v * 2^r (v (1,128) int32, |v| < 2^30, static q/r)."""
     if sign < 0:
@@ -393,6 +414,13 @@ def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref, corr_ref,
             _deposit_row3(arel, cacc[pl.ds(t, 1), :], q, r, sign=-1)
         macc[...] = jnp.zeros_like(macc)
         cacc[...] = jnp.zeros_like(cacc)
+
+        # spill deposits are sign-skewed (p0/p1 >= 0), so limbs grow
+        # monotonically; re-bound them every RENORM_SPILLS spills
+        @pl.when(jnp.bitwise_and(
+            ik + 1, _I(RENORM_SPILLS * spill_tiles - 1)) == 0)
+        def _():
+            _renorm_rel(arel)
 
     @pl.when(is_last)
     def _():

@@ -153,6 +153,22 @@ def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None):
     return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo)
 
 
+def _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl: str):
+    """Exact C = A@B bits for one device-local block."""
+    if impl == "pallas":
+        from ..ops.kernels.gemm_kernel import gemm_bits_pallas
+
+        z = jnp.zeros((a_hi.shape[0], b_hi.shape[1]), jnp.uint32)
+        hi, lo = gemm_bits_pallas(a_hi, a_lo, b_hi, b_lo, z, z,
+                                  jnp.uint32(0), jnp.uint32(0), "zero")
+        return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
+    from ..ops.exgemm import gemm_acc_xla
+
+    limbs, special = gemm_acc_xla(a_hi, a_lo, b_hi, b_lo)
+    return round_rows(limbs, special).reshape(
+        a_hi.shape[0], b_hi.shape[1])
+
+
 def exgemm_sharded(a, b, mesh: Mesh | None = None, axis: str = AXIS,
                    impl: str | None = None):
     """Reproducible C = A@B with A row-sharded over the mesh -> bits (m, n)."""
@@ -170,18 +186,7 @@ def exgemm_sharded(a, b, mesh: Mesh | None = None, axis: str = AXIS,
              in_specs=(P(axis), P(axis), P(), P()),
              out_specs=P(axis), check_vma=False)
     def run(a_hi, a_lo, b_hi, b_lo):
-        if impl == "pallas":
-            from ..ops.kernels.gemm_kernel import gemm_bits_pallas
-
-            z = jnp.zeros((a_hi.shape[0], b_hi.shape[1]), jnp.uint32)
-            hi, lo = gemm_bits_pallas(a_hi, a_lo, b_hi, b_lo, z, z,
-                                      jnp.uint32(0), jnp.uint32(0), "zero")
-            return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
-        from ..ops.exgemm import gemm_acc_xla
-
-        limbs, special = gemm_acc_xla(a_hi, a_lo, b_hi, b_lo)
-        bits = round_rows(limbs, special)
-        return bits.reshape(a_hi.shape[0], b_hi.shape[1])
+        return _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl)
 
     return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)
 
@@ -214,18 +219,7 @@ def exgemm_sharded_2d(a, b, mesh: Mesh | None = None,
                        P(None, col_ax)),
              out_specs=P(row_ax, col_ax), check_vma=False)
     def run(a_hi, a_lo, b_hi, b_lo):
-        if impl == "pallas":
-            from ..ops.kernels.gemm_kernel import gemm_bits_pallas
-
-            z = jnp.zeros((a_hi.shape[0], b_hi.shape[1]), jnp.uint32)
-            hi, lo = gemm_bits_pallas(a_hi, a_lo, b_hi, b_lo, z, z,
-                                      jnp.uint32(0), jnp.uint32(0), "zero")
-            return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
-        from ..ops.exgemm import gemm_acc_xla
-
-        limbs, special = gemm_acc_xla(a_hi, a_lo, b_hi, b_lo)
-        return round_rows(limbs, special).reshape(
-            a_hi.shape[0], b_hi.shape[1])
+        return _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl)
 
     return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)
 

@@ -174,6 +174,28 @@ def test_mxu_gemv_spill_invariance():
         assert (got == want).all(), f"spill_tiles={st}"
 
 
+def test_mxu_gemv_spill_renorm():
+    """>= RENORM_SPILLS spills triggers the in-kernel carry pass; bits
+    must be unchanged (cancellation-heavy data maximizes limb traffic)."""
+    from exblas_tpu.ops.kernels.gemv_mxu import (analyze_gemv_rows,
+                                                 analyze_z, gemv_bits_mxu)
+
+    rng = np.random.default_rng(20)
+    m, k = 8, 5120         # 20 k-tiles; spill_tiles=1 -> renorm at spill 16
+    sgn = lambda shape: np.where(rng.uniform(size=shape) < 0.5, -1.0, 1.0)
+    a = rng.uniform(0.5, 1.0, (m, k)) * sgn((m, k))
+    x = rng.uniform(0.5, 1.0, (k,)) * sgn((k,))
+    ab, xb = split_f64(a), split_f64(x)
+    with pltpu.force_tpu_interpret_mode():
+        ea, _, _ = analyze_gemv_rows(ab.hi, ab.lo)
+        f, _, _ = analyze_z(xb.hi, xb.lo)
+        hi, lo = gemv_bits_mxu(ab.hi, ab.lo, xb.hi, xb.lo, ea, f,
+                               spill_tiles=1)
+    got = (np.asarray(hi).astype(np.uint64) << 32) | np.asarray(lo)
+    want = _bits_xla(a, 1.0, x, 0.0, None, "zero")
+    assert (got == want).all()
+
+
 def test_mxu_gemv_multi_tile_auto():
     """Multiple k-tiles through the full dispatcher: uniform(-1,1) data has
     ~70-80-bit row spreads (tiny draws near zero), exercising the (3,3)

@@ -198,8 +198,9 @@ def test_gemv_mxu_matches_xla(alpha, beta):
 def test_gemv_mxu_rungs_specials_fallback():
     import exblas_tpu as xb
     m, k = 200, 384
-    # rung 2 (96-bit anchored window)
-    a = xb.init_fpuniform_matrix(m, k, 70, 0, seed=63)
+    # rung 2 (96-bit anchored window): spread ~ 30+53 = 83 bits, above the
+    # 64-bit rung-1 window but inside rung 2
+    a = xb.init_fpuniform_matrix(m, k, 30, 0, seed=63)
     x = xb.init_fpuniform(k, 12, 0, seed=64)
     got = xb.exgemv("N", 1.0, a, x, impl="auto")
     want = xb.exgemv("N", 1.0, a, x, impl="xla")
