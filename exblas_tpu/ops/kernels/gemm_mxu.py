@@ -267,12 +267,14 @@ def _deposit_beta_c_rel(acc, c_hi, c_lo, bb_hi, bb_lo, e_base, rel0, l_rel):
 
 def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
                 bb_hi_ref, bb_lo_ref, yhi_out, ylo_out,
-                acc, dig, *, sa, sb, l_rel, rel0, beta_mode):
+                acc, dig, cls, *, sa, sb, l_rel, rel0, beta_mode):
     kt_i = pl.program_id(2)
+    n_cls = sa + sb - 1
 
     @pl.when(kt_i == 0)
     def _():
         acc[...] = jnp.zeros_like(acc)
+        cls[...] = jnp.zeros_like(cls)
         if beta_mode != "zero":
             e_base = e_ref[...] + f_ref[0:1, :] + _I(2)
             bb_h = jnp.broadcast_to(bb_hi_ref[...], (LANES, LANES))
@@ -280,13 +282,30 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
             _deposit_beta_c_rel(acc, c_hi_ref[...], c_lo_ref[...],
                                 bb_h, bb_l, e_base, rel0, l_rel)
 
+    # slice-pair products fold into per-CLASS int32 accumulators (the
+    # deposit position depends only on c = s+t): one convert + one add per
+    # pair instead of a full limb-split deposit -- the kernel is
+    # VPU-deposit-bound, so this is the hot-loop optimization.  Class sums
+    # stay exact: <= min(sa, sb) pairs x 2^24 per tile, x2 tiles < 2^29.
     for s in range(sa):
         a_s = a_sl_ref[s]          # (128, KT) bf16
         for t in range(sb):
             b_t = b_sl_ref[t]      # (KT, 128) bf16
             m_f32 = jnp.dot(a_s, b_t, preferred_element_type=jnp.float32)
             m = m_f32.astype(_I)   # exact: integer < 2^24
-            c = s + t
+            cls[pl.ds((s + t) * LANES, LANES), :] += m
+
+    # every 2 tiles (and at the end): limb-split the n_cls class rows into
+    # the relative accumulator and renorm.  A limb row receives ~2.5
+    # classes x up to 2^29-magnitude parts < 2^31 between renorms.
+    spill = jnp.logical_or(
+        jnp.bitwise_and(kt_i + 1, _I(1)) == 0,
+        kt_i == pl.num_programs(2) - 1)
+
+    @pl.when(spill)
+    def _():
+        for c in range(n_cls):
+            m = cls[pl.ds(c * LANES, LANES), :]
             p_rel = rel0 - 8 * (c + 2)
             q, r = divmod(p_rel, LIMB_BITS)
             h = m >> _I(LIMB_BITS)
@@ -296,12 +315,7 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
             acc[pl.ds(q * LANES, LANES), :] += p0
             up = (h << _I(r)) + p1
             acc[pl.ds((q + 1) * LANES, LANES), :] += up
-
-    # overflow safety: per k-tile a limb row can receive ~2.5 classes x sa
-    # pairs of deposits up to ~2^23 each (~2^28.6 at sa=16); renorm every
-    # 2 tiles keeps growth < 2^30.
-    @pl.when(jnp.bitwise_and(kt_i + 1, _I(1)) == 0)
-    def _():
+        cls[...] = jnp.zeros_like(cls)
         _renorm_rel(acc)
 
     @pl.when(kt_i == pl.num_programs(2) - 1)
@@ -412,6 +426,7 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
         scratch_shapes=[
             pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
             pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
+            pltpu.VMEM(((sa + sb - 1) * LANES, LANES), jnp.int32),
         ],
     )(a_sl, b_sl, e_b, f_b, c_hi, c_lo, bb_h, bb_l)
     return hi[:m, :n], lo[:m, :n]
