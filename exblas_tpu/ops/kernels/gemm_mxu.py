@@ -284,9 +284,10 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
 
     # slice-pair products fold into per-CLASS int32 accumulators (the
     # deposit position depends only on c = s+t): one convert + one add per
-    # pair instead of a full limb-split deposit -- the kernel is
-    # VPU-deposit-bound, so this is the hot-loop optimization.  Class sums
-    # stay exact: <= min(sa, sb) pairs x 2^24 per tile, x2 tiles < 2^29.
+    # pair instead of a full limb-split deposit.  Class sums stay exact:
+    # <= min(sa, sb) pairs x 2^24 per tile, x2 tiles < 2^29.  (A stacked
+    # (sa*128, KT) single-matmul-per-B-slice variant measured ~3% slower
+    # at n=4096 -- the small (128, KT, 128) shape pipelines better.)
     for s in range(sa):
         a_s = a_sl_ref[s]          # (128, KT) bf16
         for t in range(sb):
