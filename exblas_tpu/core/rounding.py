@@ -221,8 +221,16 @@ def ieee_encode_round(sign, e_msb, m55_hi, m55_lo, sticky_below):
     return (hi32.astype(_U64) << _U64(32)) | lo32.astype(_U64)
 
 
-def round_digits_to_f64_bits(digits, negative, fmt: AccFormat):
-    """Round canonical base-2^20 digits (..., L) to binary64 bits (uint64)."""
+def round_digits_to_f64_bits(digits, negative, fmt: AccFormat,
+                             e_adjust=None):
+    """Round canonical base-2^20 digits (..., L) to binary64 bits (uint64).
+
+    ``fmt.offset_bits`` positions absolute accumulators (bit p has
+    exponent ``p - offset_bits``).  For *relative* accumulators pass
+    ``e_adjust`` (int32, broadcastable to the batch shape): bit p then has
+    exponent ``p + e_adjust`` (used by the MXU GEMV epilogue whose limbs
+    are anchored per output row).
+    """
     n_limbs = fmt.n_limbs
     mag = jnp.where(negative[..., None], negate_digits(digits), digits)
 
@@ -275,7 +283,10 @@ def round_digits_to_f64_bits(digits, negative, fmt: AccFormat):
         sticky, jnp.logical_and(j0 >= 0, part_bits != 0)
     )
 
-    e_msb = p_msb - _I32(fmt.offset_bits)
+    if e_adjust is None:
+        e_msb = p_msb - _I32(fmt.offset_bits)
+    else:
+        e_msb = p_msb + e_adjust
     bits = ieee_encode_round(
         negative.astype(_I32), e_msb, m55_hi, m55_lo, sticky
     )

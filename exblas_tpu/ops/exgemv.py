@@ -154,32 +154,6 @@ def _validate_fpe(fpe: int):
 _GEMV_RUNGS = ((2, 2), (3, 3))  # (nwa, nwz) word counts: 64/96 anchored bits
 
 
-def _mxu_beta_cover(y_hi, y_lo, beta_hi, beta_lo, ea0, f0, r0: int):
-    """Device bool: every finite nonzero beta*y product fits the relative
-    accumulator window [e_base - r0, e_base + MXU_BETA_HEAD] of its row."""
-    from ..core.ieee import decode_fields
-    from .kernels.gemv_mxu import MXU_BETA_HEAD
-
-    _, expf_y, mhi_y, mlo_y = decode_fields(y_hi, y_lo)
-    zero_y, _, _ = dep.classify(expf_y, mhi_y, mlo_y)
-    _, expf_b, mhi_b, mlo_b = decode_fields(beta_hi, beta_lo)
-    zero_b, _, _ = dep.classify(expf_b, mhi_b, mlo_b)
-
-    e_lsb_y = jnp.maximum(expf_y, 1) - jnp.int32(1075)
-    e_lsb_b = jnp.maximum(expf_b, 1) - jnp.int32(1075)
-    e_lsb = e_lsb_b + e_lsb_y
-    e_msb = e_lsb + jnp.int32(106)
-    e_base = ea0 + f0 + jnp.int32(2)
-    valid = jnp.logical_not(jnp.logical_or(
-        jnp.logical_or(zero_y, expf_y == 0x7FF),
-        jnp.logical_or(zero_b, expf_b == 0x7FF)))
-    lo_ok = e_lsb + jnp.int32(r0) - e_base >= 0
-    hi_ok = e_msb - e_base <= jnp.int32(MXU_BETA_HEAD)
-    ok = jnp.logical_or(jnp.logical_not(valid),
-                        jnp.logical_and(lo_ok, hi_ok))
-    return jnp.all(ok)
-
-
 def _gemv_special_rows(a_hi, a_lo, z_hi, z_lo):
     """Per-row (nan, pinf, ninf) bools of sum_k a_ik*z_k, matching the
     special semantics of dep.product_terms + round_rows.  Runs only under
@@ -219,7 +193,7 @@ def _gemv_bits_auto(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
     byte-plane rung ladder with exact VPU fallback, per-row special
     override.  All branches produce identical bits by construction."""
     from .kernels.gemv_mxu import (analyze_gemv_rows, analyze_z,
-                                   gemv_bits_mxu, _rung_params)
+                                   gemv_bits_mxu)
 
     zbits = f64_mul(
         jnp.broadcast_to(alpha_hi, x_hi.shape),
@@ -241,15 +215,9 @@ def _gemv_bits_auto(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
         by_ninf = t["ninf"] > 0
         has_spec_by = jnp.any(jnp.logical_or(
             by_nan, jnp.logical_or(by_pinf, by_ninf)))
-        covers = [
-            _mxu_beta_cover(y_hi, y_lo, beta_hi, beta_lo, ea0, f0,
-                            _rung_params(nwa, nwz, beta_mode)[4])
-            for nwa, nwz in _GEMV_RUNGS
-        ]
     else:
         by_nan = by_pinf = by_ninf = jnp.zeros(a_hi.shape[:1], jnp.bool_)
         has_spec_by = jnp.bool_(False)
-        covers = [jnp.bool_(True)] * len(_GEMV_RUNGS)
 
     def mxu_branch(nwa, nwz):
         def fbr():
@@ -269,11 +237,9 @@ def _gemv_bits_auto(a_hi, a_lo, x_hi, x_lo, alpha_hi, alpha_lo,
         return round_rows(limbs, special)
 
     idx = jnp.int32(len(_GEMV_RUNGS))  # default: VPU fallback
-    for rung, ((nwa, nwz), cov) in reversed(
-            list(enumerate(zip(_GEMV_RUNGS, covers)))):
-        ok = jnp.logical_and(
-            jnp.logical_and(spread_a <= 32 * nwa, spread_z <= 32 * nwz),
-            cov)
+    for rung, (nwa, nwz) in reversed(list(enumerate(_GEMV_RUNGS))):
+        ok = jnp.logical_and(spread_a <= 32 * nwa,
+                             spread_z <= 32 * nwz)
         idx = jnp.where(ok, jnp.int32(rung), idx)
 
     bits = jax.lax.switch(

@@ -8,24 +8,22 @@ is exact and hence bit-identical to the VPU/XLA paths:
 
 * per-row anchors ``E_i`` (an upper bound on the msb exponent of row i of
   A); each element is shifted to a W-bit fixed-point integer relative to
-  its row anchor, two's-complemented, and split into ``W/8`` *byte planes*
-  with an excess-128 offset -- each plane value ``b - 128`` fits int8.
-  The whole decomposition is ~40 VPU ops/element (no per-slice extract
-  ladder: one funnel shift + one XOR per word + one truncating int8
-  convert per plane);
+  its row anchor, two's-complemented, and XOR'd with 0x80808080 -- a
+  ``pltpu.bitcast`` to int8 then IS the excess-128 byte-plane stack
+  (row 4i+b = byte b of row i), so the whole decomposition is ~32 VPU
+  ops/element with no per-plane extract ladder;
 * ``z = fl(alpha*x)`` is decomposed once at the XLA level into ``NZ``
   *balanced signed base-256 digits* (values in [-128, 127], exactly int8)
   against a global anchor F;
-* plane x digit products are int8 MXU matmuls with exact int32
-  accumulation: ``N_s[t, i] = sum_k (b_s[i,k] - 128) * d_t[k]``;
-* the -128 excess is compensated by a precomputed limb vector (the z-digit
-  column sums are global constants), and the two's-complement sign by one
-  extra matmul against the negative-mask plane;
-* deposits land in a small per-row *relative* accumulator (bit p has
-  exponent ``E_i + F + 2 - R0 + p``); one in-kernel correctly-rounded
-  conversion per row finishes the job.  ``beta*y`` is deposited exactly
-  into the same accumulator (106-bit product, coverage-checked by the
-  dispatcher).
+* ONE int8 MXU matmul per 32-bit word computes all four plane x digit
+  sums at once with exact int32 accumulation:
+  ``N_w[t, 4i+b] = sum_k (byte_b(w)[i,k] - 128) * d_t[k]``;
+* spills land in a per-byte-lane *relative* accumulator (lane 4i+b, bit
+  position lane-shifted by 8b); the XLA epilogue folds byte lanes,
+  applies the excess-128 compensation (a global limb constant from the
+  z-digit column sums) and the sign-mask matmul correction, shifts each
+  row's relative limbs into the absolute DOT-format accumulator, deposits
+  ``beta*y`` exactly there (no coverage constraint), and rounds once.
 
 Reference counterpart: ExGEMV.Superacc.cl:192-293 keeps one global-memory
 superaccumulator per row and EFT-accumulates scalar products; the MXU
@@ -44,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core import deposit as dep
 from ...core.types import LIMB_BITS, LIMB_MASK
-from .round_in_kernel import round_lanes_acc
 
 LANES = 128
 KT = 256            # k-tile (two lane tiles)
@@ -55,32 +52,26 @@ _U64 = jnp.uint64
 _Z = _np.int32(0)
 
 # Largest k slice-sum run between limb spills: |sum_k (b-128)*d| <= k * 2^14
-# must stay < 2^30 so _deposit_row3 pieces fit, hence k_run <= 2^15.
+# must stay < 2^30 so the spill deposit's piece split fits, hence
+# k_run <= 2^15.
 SPILL_K = 32768
 SPILL_TILES = SPILL_K // KT
 
-# Each spill grows the busiest relative-accumulator limb by up to
-# ~3 piece positions x min(ns, nz) (s,t) pairs x 2^20 (p0/p1 deposit pieces
-# are NONNEGATIVE -- the sign travels in h2 two limbs up -- so growth is
-# monotone): <~ 40 * 2^20 ~ 2^25.5 per spill.  A value-preserving carry
-# pass every RENORM_SPILLS spills re-bounds the limbs
-# (16 * 2^25.5 ~ 2^29.5 << 2^31), making the 128-spill total-k cap safe.
-RENORM_SPILLS = 16
+# Total-k cap: a carry pass runs right after every spill, so per-spill
+# limb growth (<~ 2^29.5) can never accumulate; 128 spills are bounded by
+# the l_rel sizing (the `extra` bits in _rung_params), not by slack.
 MAX_K_MXU = 128 * SPILL_K
 
-# Extra headroom (bits above the anchor base e_base = E_i + F + 2) that
-# beta*y products may occupy; coverage-checked by the dispatcher.
-MXU_BETA_HEAD = 36
 
-
-def _rung_params(nwa: int, nwz: int, beta_mode: str, k_pad: int = SPILL_K):
+def _rung_params(nwa: int, nwz: int, k_pad: int = SPILL_K):
     """Static geometry for a (nwa, nwz)-word rung.
 
     nwa: 32-bit words per A element (2 or 3 -> W = 64 / 96 anchored bits).
     nwz: words per z element (Wz = 64 / 96; NZ = Wz/8 + 1 balanced digits).
     k_pad: padded column count -- class totals reach k_pad * 2^14, so the
     accumulator top grows by log2(k_pad / 2^15) bits beyond the one-spill
-    geometry.
+    geometry.  (beta*y lives in the XLA-side absolute accumulator, not
+    here.)
     """
     w_a = 32 * nwa
     w_z = 32 * nwz
@@ -91,8 +82,6 @@ def _rung_params(nwa: int, nwz: int, beta_mode: str, k_pad: int = SPILL_K):
     top_bit = max(8 * (ns + nz - 2) + 30 + extra,  # plane x digit deposits
                   w_a + 8 * (nz - 1) + 23 + extra)  # negm x digit deposits
     l_rel = -(-(top_bit + 2) // LIMB_BITS) + 1
-    if beta_mode != "zero":
-        l_rel += 3
     return w_a, w_z, ns, nz, r0, l_rel
 
 
@@ -244,11 +233,13 @@ def make_excess_corr_limbs(zsum, nwa: int, nwz: int, l_rel: int):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _slice_byte_planes(a_hi, a_lo, erow, nwa: int):
-    """(128, KT) bit-pair block -> (planes, negm) for the matmuls.
+def _slice_byte_words(a_hi, a_lo, erow, nwa: int):
+    """(128, KT) bit-pair block -> (tc, negm) for the byte matmuls.
 
-    planes: list of W/8 int8 arrays, plane s = byte s of the two's-
-    complement anchored value, excess-128 (so plane = b_s - 128).
+    tc: list of nwa uint32 words of the two's-complement anchored value,
+    each XOR'd with 0x80808080 so that a byte-wise reinterpretation
+    (pltpu.bitcast to int8) yields the excess-128 planes b - 128 directly
+    -- no per-plane extract ladder.
     negm: int8 0/1 negative mask (the 2^W sign correction plane).
     """
     w_a = 32 * nwa
@@ -295,23 +286,16 @@ def _slice_byte_planes(a_hi, a_lo, erow, nwa: int):
             t = (w ^ mu) + c
             zall = jnp.logical_and(zall, w == _U(0))
         tc.append(t ^ _U(0x80808080))        # excess-128, all bytes at once
-
-    planes = []
-    for s in range(w_a // 8):
-        w = jax.lax.bitcast_convert_type(tc[s // 4], _I)
-        j = s % 4
-        p = (w >> _I(8 * j)) if j else w
-        planes.append(p.astype(jnp.int8))    # truncating: (b ^ 0x80) - 256
     negm = (m & _I(1)).astype(jnp.int8)
-    return planes, negm
+    return tc, negm
 
 
-def _renorm_rel(acc):
-    """Value-preserving carry pass on the (l_rel, 128) relative accumulator:
-    each limb's bits above LIMB_BITS move up one row.  The top row is left
-    whole (any carry stays in place, as in the reference's Normalize,
-    superaccumulator.cpp:138-162), so no bits can ever be dropped."""
-    a = acc[...]
+def _renorm_rel3(arel_ref):
+    """Value-preserving carry pass on the (1, l_rel, 512) accumulator ref:
+    bits above LIMB_BITS move up one limb row; the top row is kept whole
+    (any carry stays in place, as in the reference's Normalize,
+    superaccumulator.cpp:138-162)."""
+    a = arel_ref[0]
     c = a >> _I(LIMB_BITS)          # arithmetic: floor, value-preserving
     low = a - (c << _I(LIMB_BITS))
     row = jax.lax.broadcasted_iota(_I, a.shape, 0)
@@ -319,123 +303,78 @@ def _renorm_rel(acc):
     low = jnp.where(row == top, a, low)      # keep the top row whole
     c_up = pltpu.roll(c, shift=jnp.int32(1), axis=0)
     c_up = jnp.where(row == 0, _I(0), c_up)
-    acc[...] = low + c_up
+    arel_ref[0] = low + c_up
 
 
-def _deposit_row3(acc, v, q: int, r: int, sign: int = 1):
-    """acc[q..q+2] += v * 2^r (v (1,128) int32, |v| < 2^30, static q/r)."""
-    if sign < 0:
-        v = -v
+def _spill_lane_deposit(arel_ref, v, base: int, bofs, l_rel: int):
+    """arel += v * 2^(base + bofs[lane]); v (1, 512) int32, |v| < 2^30,
+    bofs (1, 512) in {0, 8, 16, 24} (byte offset of the interleaved lane),
+    base static.  Splits v into a nonnegative low 20-bit part (two masked
+    pieces) and a small signed high part (deposited whole -- the int32
+    carry slack absorbs the overlap)."""
     h = v >> _I(LIMB_BITS)
-    low = v - (h << _I(LIMB_BITS))
-    p0 = (low << _I(r)) & _I(LIMB_MASK)
-    hs = h << _I(r)
-    h2 = hs >> _I(LIMB_BITS)
-    mid = hs - (h2 << _I(LIMB_BITS))
-    p1 = (low >> _I(LIMB_BITS - r)) + mid if r else mid
-    acc[pl.ds(q, 1), :] += p0
-    acc[pl.ds(q + 1, 1), :] += p1
-    acc[pl.ds(q + 2, 1), :] += h2
+    low = v - (h << _I(LIMB_BITS))           # in [0, 2^20)
+    bit_l = bofs + _I(base)
+    for j in range(base // LIMB_BITS,
+                   min(l_rel, (base + 44) // LIMB_BITS + 1)):
+        sh = bit_l - _I(LIMB_BITS * j)
+        shp = dep._clip_i32(sh, 0, 31)
+        shn = dep._clip_i32(-sh, 0, 31)
+        # (low << sh) & M is 0 for sh >= 20; low >> -sh is 0 for -sh >= 20
+        lo_c = jnp.where(sh >= 0, (low << shp) & _I(LIMB_MASK),
+                         low >> shn)
+        shh = sh + _I(LIMB_BITS)
+        h_c = jnp.where(jnp.logical_and(shh >= 0, shh < _I(LIMB_BITS)),
+                        h << dep._clip_i32(shh, 0, LIMB_BITS - 1), _I(0))
+        arel_ref[0, pl.ds(j, 1), :] += lo_c + h_c
 
 
-def _deposit_beta_y(acc, y_hi, y_lo, bb_hi, bb_lo, e_base, r0, l_rel):
-    """Deposit the exact 106-bit product beta*y into the relative
-    accumulator rows: element lane i's product bit 0 sits at relative bit
-    (e_lsb(beta) + e_lsb(y)) + r0 - e_base.  Coverage guaranteed by the
-    dispatcher (cf. exgemv._mxu_beta_cover)."""
-    t = dep.product_terms(bb_hi, bb_lo, y_hi, y_lo, _I(r0) - e_base)
-    q, r, s = t["q"], t["r"], t["s"]
-    big = _I(l_rel + 8)
-    for k, cls in enumerate(t["classes"]):
-        pbit = r + _I(14 * k)
-        dq = pbit // _I(LIMB_BITS)
-        rr = pbit - dq * _I(LIMB_BITS)
-        p0, p1, p2 = dep.split_value30(cls.astype(_U), rr)
-        pieces = tuple(p.astype(_I) * s for p in (p0, p1, p2))
-        qk = q + dq
-        qmin = jnp.min(jnp.where(t["valid"], qk, big))
-        qmax = jnp.max(jnp.where(t["valid"], qk, _I(-1)))
-
-        def body(w, carry, qk=qk, pieces=pieces):
-            d = w - qk
-            contrib = jnp.where(d == 0, pieces[0], _I(0))
-            contrib = jnp.where(d == 1, pieces[1], contrib)
-            contrib = jnp.where(d == 2, pieces[2], contrib)
-            acc[pl.ds(w, 1), :] += contrib
-            return carry
-
-        jax.lax.fori_loop(qmin, qmax + 3, body, _I(0))
-
-
-def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref, corr_ref,
-                     ebase_ref, y_hi_ref, y_lo_ref, bb_hi_ref, bb_lo_ref,
-                     yhi_out, ylo_out, macc, cacc, arel,
-                     *, nwa, nwz, beta_mode, k_pad, spill_tiles):
-    w_a, w_z, ns, nz, r0, l_rel = _rung_params(nwa, nwz, beta_mode, k_pad)
+def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref,
+                     arel_out, cacc_out, macc,
+                     *, nwa, nwz, k_pad, spill_tiles):
+    w_a, w_z, ns, nz, r0, l_rel = _rung_params(nwa, nwz, k_pad)
     ik = pl.program_id(1)
     nk = pl.num_programs(1)
 
     @pl.when(ik == 0)
     def _():
         macc[...] = jnp.zeros_like(macc)
-        cacc[...] = jnp.zeros_like(cacc)
-        arel[...] = jnp.zeros_like(arel)
+        arel_out[...] = jnp.zeros_like(arel_out)
+        cacc_out[...] = jnp.zeros_like(cacc_out)
 
-    planes, negm = _slice_byte_planes(
+    tc, negm = _slice_byte_words(
         a_hi_ref[...], a_lo_ref[...], e_ref[:, 0:1], nwa)
     zd = zd_ref[...]
-    for s in range(ns):
-        n_s = jax.lax.dot_general(
-            zd, planes[s], (((1,), (1,)), ((), ())),
-            preferred_element_type=_I)       # (32, 128): rows = digit t
-        macc[pl.ds(s * 32, 32), :] += n_s
-    cacc[...] += jax.lax.dot_general(
+    # ONE matmul per 32-bit word: pltpu.bitcast interleaves the four
+    # excess-128 byte planes into the sublane axis (row 4i+b = byte b of
+    # A row i), so the (32, KT) x (512, KT) product computes all four
+    # plane x digit sums at once -- no per-plane extraction.
+    for w in range(nwa):
+        n_w = jax.lax.dot_general(
+            zd, pltpu.bitcast(tc[w], jnp.int8),
+            (((1,), (1,)), ((), ())), preferred_element_type=_I)
+        macc[pl.ds(w * 32, 32), :] += n_w    # (32, 512): rows = digit t
+    cacc_out[0] += jax.lax.dot_general(
         zd, negm, (((1,), (1,)), ((), ())), preferred_element_type=_I)
 
-    # Spill the int32 slice sums into the limb accumulator every SPILL_TILES
-    # k-steps (so |macc row| <= SPILL_K * 2^14 < 2^30 always fits a
-    # _deposit_row3) and at the end.  Per-limb spill growth is <~ 6 * 2^20,
-    # so <= 128 spills (MAX_K_MXU) stay inside the int32 carry slack.
-    is_last = ik == nk - 1
+    # Spill the int32 sums into the limb accumulator every SPILL_TILES
+    # k-steps (|macc| <= SPILL_K * 2^14 < 2^30) and at the end; the carry
+    # pass right after every spill re-bounds the limbs (per-spill growth
+    # <~ 2^29.5, slack 2^31 - 2^21).
     spill = jnp.logical_or(
-        jnp.bitwise_and(ik + 1, _I(spill_tiles - 1)) == 0, is_last)
+        jnp.bitwise_and(ik + 1, _I(spill_tiles - 1)) == 0, ik == nk - 1)
 
     @pl.when(spill)
     def _():
-        # plane x digit deposits at bit 8(s+t); ~3 overlapping positions
-        # x <= min(ns, nz) pairs each of <= 2^20 pieces per spill.
-        for s in range(ns):
+        bofs = (jax.lax.broadcasted_iota(_I, (1, 4 * LANES), 1)
+                & _I(3)) << _I(3)            # byte offset 8*(lane % 4)
+        for w in range(nwa):
             for t in range(nz):
-                q, r = divmod(8 * (s + t), LIMB_BITS)
-                _deposit_row3(arel, macc[pl.ds(s * 32 + t, 1), :], q, r)
-        # two's-complement sign correction: -2^(W) * sum_k negm * z
-        for t in range(nz):
-            q, r = divmod(w_a + 8 * t, LIMB_BITS)
-            _deposit_row3(arel, cacc[pl.ds(t, 1), :], q, r, sign=-1)
+                _spill_lane_deposit(
+                    arel_out, macc[pl.ds(w * 32 + t, 1), :],
+                    32 * w + 8 * t, bofs, l_rel)
         macc[...] = jnp.zeros_like(macc)
-        cacc[...] = jnp.zeros_like(cacc)
-
-        # spill deposits are sign-skewed (p0/p1 >= 0), so limbs grow
-        # monotonically; re-bound them every RENORM_SPILLS spills
-        @pl.when(jnp.bitwise_and(
-            ik + 1, _I(RENORM_SPILLS * spill_tiles - 1)) == 0)
-        def _():
-            _renorm_rel(arel)
-
-    @pl.when(is_last)
-    def _():
-        # excess-128 compensation (global limb constant, all lanes)
-        arel[...] += corr_ref[...]
-        e_base = ebase_ref[0]
-        if beta_mode != "zero":
-            _deposit_beta_y(arel, y_hi_ref[0], y_lo_ref[0],
-                            bb_hi_ref[...], bb_lo_ref[...],
-                            e_base, r0, l_rel)
-        zero3 = jnp.zeros((3, LANES), _I)
-        hi32, lo32 = round_lanes_acc(arel, zero3, l_rel, 0,
-                                     e_adjust=e_base - _I(r0))
-        yhi_out[0] = hi32
-        ylo_out[0] = lo32
+        _renorm_rel3(arel_out)
 
 
 @functools.partial(jax.jit, static_argnames=("nwa", "nwz", "beta_mode",
@@ -449,17 +388,23 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
     a: (m, k) bit pairs; z: (k,) bit pairs (already alpha-scaled);
     ea: (m,) int32 per-row msb-exponent bounds; f_anchor: int32 scalar z
     anchor.  Caller must have verified coverage: per-row spread of A
-    <= 32*nwa, z spread <= 32*nwz, padded k <= MAX_K_MXU, and beta*y
-    products within [e_base - r0, e_base + MXU_BETA_HEAD] bits.
+    <= 32*nwa, z spread <= 32*nwz, padded k <= MAX_K_MXU.  beta*y needs
+    no coverage: it is deposited exactly into the absolute accumulator in
+    the XLA epilogue (with full NaN/Inf semantics via round_rows).
 
-    Returns (hi, lo) uint32 (m,) -- bit-identical to the VPU/XLA paths.
+    The kernel emits raw per-byte-lane relative limbs; the XLA epilogue
+    folds byte lanes, applies the excess-128 and sign-mask corrections,
+    shifts each row's relative limbs into the absolute DOT-format
+    accumulator, deposits beta*y, and rounds -- bit-identical to the
+    VPU/XLA paths.  Returns (hi, lo) uint32 (m,).
     """
     m, k = a_hi.shape
     m_pad = -(-m // LANES) * LANES
     k_pad = -(-k // KT) * KT
     assert k_pad <= MAX_K_MXU
-    assert (spill_tiles & (spill_tiles - 1)) == 0 and spill_tiles <= SPILL_TILES
-    w_a, w_z, ns, nz, r0, l_rel = _rung_params(nwa, nwz, beta_mode, k_pad)
+    assert (spill_tiles & (spill_tiles - 1)) == 0 \
+        and spill_tiles <= SPILL_TILES
+    w_a, w_z, ns, nz, r0, l_rel = _rung_params(nwa, nwz, k_pad)
     a_hi = jnp.pad(a_hi, ((0, m_pad - m), (0, k_pad - k)))
     a_lo = jnp.pad(a_lo, ((0, m_pad - m), (0, k_pad - k)))
     z_hi = jnp.pad(z_hi, (0, k_pad - k))
@@ -467,71 +412,105 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
 
     zdig, zsum = make_z_digits(z_hi, z_lo, f_anchor, nwz)
     corr = make_excess_corr_limbs(zsum, nwa, nwz, l_rel)
-    corr_b = jnp.broadcast_to(corr[:, None], (l_rel, LANES))
 
-    e_sub = jnp.broadcast_to(
-        jnp.pad(ea, (0, m_pad - m))[:, None], (m_pad, LANES))
+    ea_pad = jnp.pad(ea, (0, m_pad - m))
+    # 8 lanes (the kernel reads column 0 only): a 128-lane broadcast
+    # would add ~20% HBM traffic on top of the A stream
+    e_sub = jnp.broadcast_to(ea_pad[:, None], (m_pad, 8))
     m_blocks = m_pad // LANES
-    # (m_blocks, 1, LANES): Pallas TPU requires the last two block dims to
-    # divide (8, 128) or equal the array dims, so per-row-block operands get
-    # a leading grid axis instead of a (1, 128) block over (m_blocks, 128).
-    ebase = (jnp.pad(ea, (0, m_pad - m)) + f_anchor + _I(2)).reshape(
-        m_blocks, 1, LANES)
-
-    if beta_mode == "zero":
-        y_hi = jnp.zeros((m_blocks, 1, LANES), jnp.uint32)
-        y_lo = jnp.zeros((m_blocks, 1, LANES), jnp.uint32)
-        beta_hi = jnp.uint32(0)
-        beta_lo = jnp.uint32(0)
-    else:
-        y_hi = jnp.pad(y_hi, (0, m_pad - m)).reshape(m_blocks, 1, LANES)
-        y_lo = jnp.pad(y_lo, (0, m_pad - m)).reshape(m_blocks, 1, LANES)
-    bb_h = jnp.broadcast_to(beta_hi, (1, LANES))
-    bb_l = jnp.broadcast_to(beta_lo, (1, LANES))
-
     k_blocks = k_pad // KT
 
-    hi, lo = pl.pallas_call(
+    arel, cacc = pl.pallas_call(
         functools.partial(_gemv_mxu_kernel, nwa=nwa, nwz=nwz,
-                          beta_mode=beta_mode, k_pad=k_pad,
-                          spill_tiles=spill_tiles),
+                          k_pad=k_pad, spill_tiles=spill_tiles),
         grid=(m_blocks, k_blocks),
         in_specs=[
             pl.BlockSpec((LANES, KT), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, KT), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i, j: (i, _Z),
+            pl.BlockSpec((LANES, 8), lambda i, j: (i, _Z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((32, KT), lambda i, j: (_Z, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_rel, LANES), lambda i, j: (_Z, _Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, _Z, _Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, _Z, _Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, _Z, _Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i, j: (_Z, _Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i, j: (_Z, _Z),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, _Z, _Z),
+            pl.BlockSpec((1, l_rel, 4 * LANES), lambda i, j: (i, _Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, _Z, _Z),
+            pl.BlockSpec((1, 32, LANES), lambda i, j: (i, _Z, _Z),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((m_blocks, 1, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((m_blocks, 1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((m_blocks, l_rel, 4 * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((m_blocks, 32, LANES), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ns * 32, LANES), jnp.int32),
-            pltpu.VMEM((32, LANES), jnp.int32),
-            pltpu.VMEM((l_rel, LANES), jnp.int32),
+            pltpu.VMEM((nwa * 32, 4 * LANES), jnp.int32),
         ],
-    )(a_hi, a_lo, e_sub, zdig, corr_b, ebase, y_hi, y_lo, bb_h, bb_l)
-    return hi.reshape(-1)[:m], lo.reshape(-1)[:m]
+    )(a_hi, a_lo, e_sub, zdig)
+
+    # ---- XLA epilogue (O(m * l_rel) work) ----
+    from ...core.types import DOT_FORMAT
+
+    # fold the four interleaved byte lanes: lane 4i+b holds byte b's limbs
+    rel = jnp.sum(arel.reshape(m_blocks, l_rel, LANES, 4).astype(_I64),
+                  axis=-1)                       # (mb, l_rel, 128)
+    # sign-mask correction: -2^(W_a) * sum_k negm_k * z  (digit t at
+    # relative bit w_a + 8t)
+    for t in range(nz):
+        j, rr = divmod(w_a + 8 * t, LIMB_BITS)
+        rel = rel.at[:, j, :].add(
+            -(cacc[:, t, :].astype(_I64) << _I64(rr)))
+    # excess-128 compensation (global limb constant)
+    rel = rel + corr.astype(_I64)[None, :, None]
+
+    # row i's rel bit 0 has exponent e_base_i - r0
+    rel2 = jnp.transpose(rel, (0, 2, 1)).reshape(m_pad, l_rel)
+    e_base = ea_pad + f_anchor + _I(2)
+
+    if beta_mode == "zero":
+        # round the relative limbs directly (~15x less canonicalize work
+        # than going through the 216-limb absolute accumulator).  5 zero
+        # limbs of padding restore canonicalize_digits' int64-compression
+        # headroom invariant |V| < 2^(20L - 64) (values reach the top of
+        # the unpadded l_rel window).
+        from ...core.rounding import (canonicalize_digits,
+                                      round_digits_to_f64_bits)
+        from ...core.types import AccFormat
+
+        l_pad = l_rel + 5
+        rel2p = jnp.pad(rel2, ((0, 0), (0, 5)))
+        digits, negative = canonicalize_digits(rel2p)
+        bits = round_digits_to_f64_bits(
+            digits, negative, AccFormat(n_limbs=l_pad, offset_bits=0),
+            e_adjust=e_base - _I(r0))[:m]
+        return ((bits >> _U64(32)).astype(jnp.uint32),
+                (bits & _U64(0xFFFFFFFF)).astype(jnp.uint32))
+
+    # beta != 0: shift into the absolute DOT-format accumulator, deposit
+    # beta*y exactly there (no coverage constraint), one rounding.
+    p0 = e_base - _I(r0) + _I(DOT_FORMAT.offset_bits)
+    q0 = p0 // _I(LIMB_BITS)
+    rb = (p0 - q0 * _I(LIMB_BITS)).astype(_I64)
+    L = DOT_FORMAT.n_limbs
+    # masked broadcast instead of take_along_axis (TPU gathers are slow):
+    # abs limb q receives rel limb j = q - q0 shifted by the row's bit
+    # offset rb -- O(l_rel * m * L) selects, all vectorized
+    qs = jnp.arange(L, dtype=jnp.int32)[None, :]
+    abs_limbs = jnp.zeros((m_pad, L), _I64)
+    for j in range(l_rel):
+        vj = (rel2[:, j] << rb)[:, None]         # (m_pad, 1) int64
+        abs_limbs = abs_limbs + jnp.where(
+            qs == (q0 + _I(j))[:, None], vj, _I64(0))
+
+    special = jnp.zeros((m_pad, 3), jnp.int32)
+    from ..exgemv import _apply_beta_rows, round_rows
+
+    y_hi = jnp.pad(y_hi, (0, m_pad - m))
+    y_lo = jnp.pad(y_lo, (0, m_pad - m))
+    abs_limbs, special = _apply_beta_rows(
+        abs_limbs, special, beta_hi, beta_lo, y_hi, y_lo, beta_mode)
+
+    bits = round_rows(abs_limbs, special)[:m]
+    return ((bits >> _U64(32)).astype(jnp.uint32),
+            (bits & _U64(0xFFFFFFFF)).astype(jnp.uint32))
