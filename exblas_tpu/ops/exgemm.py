@@ -116,7 +116,12 @@ def _validate_fpe(fpe: int):
 # Jittable auto dispatch: MXU slice ladder with device-resident coverage
 # ---------------------------------------------------------------------------
 
-_MXU_LADDER = (8, 12, 16)  # slice counts; spread <= 8*sa selects a rung
+# (sa, sb) slice-count rungs, ordered by matmul cost sa*sb; the cheapest
+# pair with spread_a <= 8*sa and spread_b <= 8*sb (and beta*c coverage)
+# wins.  Asymmetric pairs serve mixed-spread operands: narrow A x wide B
+# runs (8, 12) = 96 products instead of the symmetric 144.
+_MXU_LADDER = ((8, 8), (8, 12), (12, 8), (8, 16), (16, 8),
+               (12, 12), (12, 16), (16, 12), (16, 16))
 
 
 def _decode_indicators(hi, lo):
@@ -215,15 +220,15 @@ def _gemm_bits_auto(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo,
     z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
     z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
 
-    ea, fb, spread, has_special_zb = analyze_gemm_operands(
+    ea, fb, spread_a, spread_b, has_special_zb = analyze_gemm_operands(
         z_hi, z_lo, b_hi, b_lo)
     ea0 = jnp.where(ea < -9000, jnp.int32(0), ea)
     fb0 = jnp.where(fb < -9000, jnp.int32(0), fb)
 
     if beta_mode != "zero":
         covers = [
-            _mxu_c_cover(c_hi, c_lo, beta_hi, beta_lo, ea0, fb0, sa, sa)
-            for sa in _MXU_LADDER
+            _mxu_c_cover(c_hi, c_lo, beta_hi, beta_lo, ea0, fb0, sa, sb)
+            for sa, sb in _MXU_LADDER
         ]
         c_nan, c_pinf, c_ninf = _beta_c_special_flags(
             c_hi, c_lo, beta_hi, beta_lo)
@@ -235,11 +240,11 @@ def _gemm_bits_auto(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo,
         c_nan = c_pinf = c_ninf = jnp.zeros(c_hi.shape, jnp.bool_)
         has_special_c = jnp.bool_(False)
 
-    def mxu_branch(sa):
+    def mxu_branch(sa, sb):
         def f():
             hi, lo = gemm_bits_mxu(z_hi, z_lo, b_hi, b_lo, c_hi, c_lo,
                                    beta_hi, beta_lo, beta_mode,
-                                   sa=sa, sb=sa)
+                                   sa=sa, sb=sb)
             return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
         return f
 
@@ -249,13 +254,14 @@ def _gemm_bits_auto(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo,
         return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
 
     idx = jnp.int32(len(_MXU_LADDER))  # default: VPU
-    for rung, (sa, cov) in reversed(list(enumerate(zip(_MXU_LADDER,
-                                                       covers)))):
-        ok = jnp.logical_and(spread <= 8 * sa, cov)
+    for rung, ((sa, sb), cov) in reversed(list(enumerate(zip(_MXU_LADDER,
+                                                             covers)))):
+        ok = jnp.logical_and(
+            jnp.logical_and(spread_a <= 8 * sa, spread_b <= 8 * sb), cov)
         idx = jnp.where(ok, jnp.int32(rung), idx)
 
     bits = jax.lax.switch(
-        idx, [mxu_branch(sa) for sa in _MXU_LADDER] + [vpu_branch])
+        idx, [mxu_branch(sa, sb) for sa, sb in _MXU_LADDER] + [vpu_branch])
 
     # Per-element special override for the MXU branches (the VPU kernel
     # handles specials natively).  Matmul-based pair counts run only when

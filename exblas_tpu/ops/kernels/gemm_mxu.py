@@ -76,10 +76,13 @@ def _exp_msb(hi, lo):
 
 
 def analyze_gemm_operands(a_hi, a_lo, b_hi, b_lo):
-    """Anchors and coverage spread.  Returns (ea (m,), fb (n,), spread,
-    has_special) -- all device arrays; spread is the max over elements of
-    (anchor - element lsb exponent), i.e. slices needed = ceil((spread+1)/8).
-    """
+    """Anchors and coverage spreads.  Returns (ea (m,), fb (n,), spread_a,
+    spread_b, has_special) -- all device arrays; spread_x is the max over
+    elements of (anchor - element lsb exponent), i.e. slices needed for
+    that operand = ceil((spread+1)/8).  Per-operand spreads let the
+    dispatcher pick asymmetric (sa, sb) rungs: matmul count is sa*sb, so
+    e.g. a narrow A against a wide B runs (8, 12) = 96 products instead of
+    the symmetric (12, 12) = 144."""
     e_a, zero_a, spec_a = _exp_msb(a_hi, a_lo)
     e_b, zero_b, spec_b = _exp_msb(b_hi, b_lo)
     ea = jnp.max(e_a, axis=1)               # (m,) row anchors
@@ -91,9 +94,8 @@ def analyze_gemm_operands(a_hi, a_lo, b_hi, b_lo):
         lsb_a == 10000, _I(0), ea[:, None] - lsb_a + _I(1)))
     spread_b = jnp.max(jnp.where(
         lsb_b == 10000, _I(0), fb[None, :] - lsb_b + _I(1)))
-    spread = jnp.maximum(spread_a, spread_b)
     has_special = jnp.logical_or(jnp.any(spec_a), jnp.any(spec_b))
-    return ea, fb, spread, has_special
+    return ea, fb, spread_a, spread_b, has_special
 
 
 def _extract8(mlo, mhi, s):
@@ -137,6 +139,39 @@ def make_slices(hi, lo, anchors, n_slices: int, axis: int):
         piece = _extract8(mlo, mhi, sh).astype(_I) * sgn
         piece = jnp.where(valid, piece, _I(0))
         out.append(piece.astype(jnp.bfloat16))
+    return jnp.stack(out)
+
+
+def make_digits(hi, lo, anchors, n_slices: int, axis: int):
+    """Balanced signed base-256 digits as int8: (n_slices + 1, m, k).
+
+    Digit u holds weight 2^(anchor + 1 - 8u); u = 0 is the carry digit in
+    {-1, 0, 1}, u >= 1 are the recoded byte slices, each in [-128, 127].
+    The recode is exact: sum_u d_u * 2^(anchor+1-8u) equals the signed
+    element value (coverage: element lsb >= anchor + 1 - 8*n_slices, as
+    checked by the dispatcher).  int8 digits let the slice-pair products
+    ride the MXU's int8 path (2x the bf16 rate) with exact int32
+    accumulation; zeros/specials become all-zero digits.
+    """
+    sign, expf, mhi, mlo = decode_fields(hi, lo)
+    e_lsb = jnp.maximum(expf, _I(1)) - _I(1075)
+    anc = anchors[:, None] if axis == 0 else anchors[None, :]
+    sgn = jnp.where(sign == 1, _I(-1), _I(1))
+    valid = jnp.logical_and(expf != 0x7FF,
+                            jnp.logical_or(expf != 0,
+                                           jnp.logical_or(mhi != 0,
+                                                          mlo != 0)))
+    out = [None] * (n_slices + 1)
+    carry = jnp.zeros_like(sgn)
+    for s in reversed(range(n_slices)):     # least-significant slice first
+        cut = anc + _I(1) - _I(8 * (s + 1))
+        byte = _extract8(mlo, mhi, cut - e_lsb).astype(_I)
+        byte = jnp.where(valid, byte, _I(0))
+        t = sgn * byte + carry              # in [-256, 256]
+        d = ((t + _I(128)) & _I(255)) - _I(128)   # in [-128, 127]
+        carry = (t - d) >> _I(8)            # in {-1, 0, 1}
+        out[s + 1] = d.astype(jnp.int8)
+    out[0] = carry.astype(jnp.int8)
     return jnp.stack(out)
 
 
@@ -379,7 +414,7 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
     bb_h = jnp.broadcast_to(beta_hi, (1, LANES))
     bb_l = jnp.broadcast_to(beta_lo, (1, LANES))
 
-    ea, fb, _, _ = analyze_gemm_operands(a_hi, a_lo, b_hi, b_lo)
+    ea, fb, _, _, _ = analyze_gemm_operands(a_hi, a_lo, b_hi, b_lo)
     ea = jnp.where(ea < -9000, _I(0), ea)  # all-zero rows: anchor irrelevant
     fb = jnp.where(fb < -9000, _I(0), fb)
 

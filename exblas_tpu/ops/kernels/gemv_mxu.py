@@ -468,40 +468,60 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
     rel2 = jnp.transpose(rel, (0, 2, 1)).reshape(m_pad, l_rel)
     e_base = ea_pad + f_anchor + _I(2)
 
+    # canonicalize the relative limbs once: digits in [0, 2^20), two's
+    # complement for negative rows.  Canonicalizing BEFORE the absolute-
+    # window shift is load-bearing for the beta path: raw rel limbs reach
+    # ~2^45 via the sign-mask correction, so `raw << rb` (rb up to 19)
+    # would overflow int64.  5 zero limbs of padding restore
+    # canonicalize_digits' int64-compression headroom invariant
+    # |V| < 2^(20L - 64) (values reach the top of the unpadded window).
+    from ...core.rounding import (canonicalize_digits, negate_digits,
+                                  round_digits_to_f64_bits)
+
+    l_pad = l_rel + 5
+    rel2p = jnp.pad(rel2, ((0, 0), (0, 5)))
+    digits, negative = canonicalize_digits(rel2p)
+
     if beta_mode == "zero":
-        # round the relative limbs directly (~15x less canonicalize work
-        # than going through the 216-limb absolute accumulator).  5 zero
-        # limbs of padding restore canonicalize_digits' int64-compression
-        # headroom invariant |V| < 2^(20L - 64) (values reach the top of
-        # the unpadded l_rel window).
-        from ...core.rounding import (canonicalize_digits,
-                                      round_digits_to_f64_bits)
+        # round the relative digits directly (~15x less canonicalize work
+        # than going through the 216-limb absolute accumulator).
         from ...core.types import AccFormat
 
-        l_pad = l_rel + 5
-        rel2p = jnp.pad(rel2, ((0, 0), (0, 5)))
-        digits, negative = canonicalize_digits(rel2p)
         bits = round_digits_to_f64_bits(
             digits, negative, AccFormat(n_limbs=l_pad, offset_bits=0),
             e_adjust=e_base - _I(r0))[:m]
         return ((bits >> _U64(32)).astype(jnp.uint32),
                 (bits & _U64(0xFFFFFFFF)).astype(jnp.uint32))
 
-    # beta != 0: shift into the absolute DOT-format accumulator, deposit
-    # beta*y exactly there (no coverage constraint), one rounding.
+    # beta != 0: shift the canonical digits into the absolute DOT-format
+    # accumulator, deposit beta*y exactly there (no coverage constraint),
+    # one rounding.  Sign-magnitude form (negate_digits) so no 2^(20*l_pad)
+    # top-correction limb is needed for negative rows.
+    mag = jnp.where(negative[:, None], negate_digits(digits), digits)
+    sgn = jnp.where(negative, _I64(-1), _I64(1))
     p0 = e_base - _I(r0) + _I(DOT_FORMAT.offset_bits)
     q0 = p0 // _I(LIMB_BITS)
     rb = (p0 - q0 * _I(LIMB_BITS)).astype(_I64)
     L = DOT_FORMAT.n_limbs
     # masked broadcast instead of take_along_axis (TPU gathers are slow):
-    # abs limb q receives rel limb j = q - q0 shifted by the row's bit
-    # offset rb -- O(l_rel * m * L) selects, all vectorized
+    # abs limb q receives rel digit j = q - q0 shifted by the row's bit
+    # offset rb -- O(l_pad * m * L) selects, all vectorized.  Deep-
+    # subnormal rows can have q0 + j < 0: every row value is a multiple of
+    # 2^-2148 = abs bit 0 (each a_i * z_i product is), so canonical digits
+    # entirely below bit 0 are zero and at most one digit straddles it --
+    # fold that one into limb 0 with an exact right shift (multiple-of-
+    # 2^20 by the same granularity argument).  Digits above the format top
+    # are likewise zero for in-range values and drop out of the select.
     qs = jnp.arange(L, dtype=jnp.int32)[None, :]
     abs_limbs = jnp.zeros((m_pad, L), _I64)
-    for j in range(l_rel):
-        vj = (rel2[:, j] << rb)[:, None]         # (m_pad, 1) int64
+    for j in range(l_pad):
+        q = q0 + _I(j)                                    # (m_pad,)
+        vj = (mag[:, j].astype(_I64) << rb) * sgn         # |vj| < 2^39
+        sh = (jnp.maximum(-q, 0) * _I(LIMB_BITS)).astype(_I64)
+        vj = jnp.where(sh > _I64(LIMB_BITS), _I64(0),
+                       vj >> jnp.minimum(sh, _I64(LIMB_BITS)))
         abs_limbs = abs_limbs + jnp.where(
-            qs == (q0 + _I(j))[:, None], vj, _I64(0))
+            qs == jnp.maximum(q, _I(0))[:, None], vj[:, None], _I64(0))
 
     special = jnp.zeros((m_pad, 3), jnp.int32)
     from ..exgemv import _apply_beta_rows, round_rows

@@ -218,8 +218,9 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
         assert_same_bits(got_p, got, label + " [permuted]")
     elif routine == "exdot":
         a = gen_vector(dist, n, rng)
-        b = gen_vector(DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))],
-                       n, rng)
+        b_dist = (dist if rng.rand() < 1 / 3 else
+                  DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))])
+        b = gen_vector(b_dist, n, rng)
         got = xb.exdot(a, b, fpe=fpe, early_exit=early_exit, impl=impl)
         want = (_DOT_ORACLE or exact_dot_with_specials)(a, b)
         assert_same_bits(got, want, label)
@@ -234,9 +235,13 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
         alpha = _ALPHAS[int(rng.randint(len(_ALPHAS)))]
         beta = _BETAS[int(rng.randint(len(_BETAS)))]
         a = _gen_matrix(dist, m, k, rng)
-        xv = gen_vector(
-            DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))],
-            m if trans == "T" else k, rng)
+        # correlated distributions 1/3 of the time: double-subnormal /
+        # double-huge operand pairs anchor the product range at its
+        # extremes (caught the deep-subnormal beta epilogue bug that
+        # independent draws hit with only ~1% probability)
+        x_dist = (dist if rng.rand() < 1 / 3 else
+                  DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))])
+        xv = gen_vector(x_dist, m if trans == "T" else k, rng)
         out_len = k if trans == "T" else m
         y = (gen_vector("fpuniform_large", out_len, rng)
              if beta != 0.0 else None)
@@ -263,9 +268,9 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
         alpha = _ALPHAS[int(rng.randint(len(_ALPHAS)))]
         beta = _BETAS[int(rng.randint(len(_BETAS)))]
         a = _gen_matrix(dist, m, k, rng)
-        b = _gen_matrix(
-            DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))],
-            k, nn, rng)
+        b_dist = (dist if rng.rand() < 1 / 3 else
+                  DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))])
+        b = _gen_matrix(b_dist, k, nn, rng)
         c = (_gen_matrix("fpuniform_large", m, nn, rng)
              if beta != 0.0 else None)
         gm_impl = "mxu" if impl == "pallas" else impl

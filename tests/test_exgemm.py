@@ -135,3 +135,23 @@ def test_exgemm_mxu_auto_specials_interpret():
         got = xb.exgemm("N", "N", 1.0, a, b, beta=1.0, c=c, impl="mxu")
     gb, wb = got.view(np.uint64), want.view(np.uint64)
     assert (gb == wb).all()
+
+
+def test_exgemm_mxu_asymmetric_rungs_interpret():
+    """Mixed-spread operands select asymmetric (sa, sb) rungs: narrow A
+    (64-bit window) x wide B (96/128-bit window) and the transpose-role
+    case must both be bit-identical to XLA.  Exercises (8, 12), (12, 8)
+    and (8, 16) dispatch."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = k = n = 128
+    a_narrow = xb.init_fpuniform_matrix(m, k, 8, 0, seed=70)
+    b_wide = xb.init_fpuniform_matrix(k, n, 40, -20, seed=71)   # ~93 bits
+    b_wider = xb.init_fpuniform_matrix(k, n, 70, -35, seed=72)  # ~123 bits
+    for aa, bb, label in ((a_narrow, b_wide, "A8 x B12"),
+                          (b_wide.T, a_narrow.T, "A12 x B8"),
+                          (a_narrow, b_wider, "A8 x B16")):
+        want = xb.exgemm("N", "N", 1.0, aa, bb, beta=0.0, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got = xb.exgemm("N", "N", 1.0, aa, bb, beta=0.0, impl="mxu")
+        assert (got.view(np.uint64) == want.view(np.uint64)).all(), label

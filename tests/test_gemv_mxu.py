@@ -219,3 +219,29 @@ def test_mxu_gemv_cancellation():
     a2 = np.concatenate([a[:, :k // 2], -a[:, :k // 2] * (1 + 2.0 ** -52)],
                         axis=1)
     _check(a2, x, label="epsilon cancellation")
+
+
+def test_mxu_gemv_deep_subnormal_beta():
+    """Products below the relative window's abs-limb 0 with beta != 0.
+
+    A deep-subnormal row anchors the relative window below DOT-format
+    bit 0 (q0 + j < 0 in the epilogue): the straddling canonical digit
+    must fold into limb 0 exactly, not drop.  Regression for a bug where
+    all below-range digits were silently discarded (product bits down to
+    2^-2148 lost whenever e_base < r0 - 2020), e.g. this case returned
+    0.0 instead of 2^-1074.
+    """
+    m, k = 8, 32
+    tiny = 5e-324                               # 2^-1074
+    a = np.full((m, k), tiny)
+    x = np.full(k, tiny)                        # products = 2^-2148 each
+    y = np.full(m, tiny)
+    # exact: 32*2^-2148 + 0.5*2^-1074; the 2^-2143 term breaks the
+    # 2^-1075 round-to-even tie upward -> 2^-1074
+    _check(a, x, alpha=1.0, beta=0.5, y=y, label="deep subnormal beta")
+    # same with sign-flipped rows (negative canonical digits fold too)
+    _check(-a, x, alpha=1.0, beta=0.5, y=y, label="deep subnormal neg")
+    # beta=1 and a k too small to straddle: window entirely below limb 0
+    # except the straddler
+    _check(a[:, :1], x[:1], alpha=1.0, beta=1.0, y=y,
+           label="single deep product")

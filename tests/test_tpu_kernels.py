@@ -234,3 +234,28 @@ def test_exgemv_sharded_rows_auto_on_chip():
         a, x, alpha=1.5, mesh=make_mesh(1), shard="rows")).view(np.float64)
     want = xb.exgemv("N", 1.5, a, x, impl="xla")
     assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+def test_gemv_mxu_deep_subnormal_beta_on_chip():
+    """Deep-subnormal products (rel window below DOT bit 0) with beta != 0.
+
+    Hardware twin of test_gemv_mxu.py::test_mxu_gemv_deep_subnormal_beta:
+    the epilogue must fold the straddling canonical digit into abs limb 0
+    instead of dropping it.
+    """
+    import exblas_tpu as xb
+    m, k = 16, 64
+    tiny = 5e-324
+    a = np.full((m, k), tiny)
+    x = np.full(k, tiny)
+    y = np.full(m, tiny)
+    for sgn in (1.0, -1.0):
+        got = xb.exgemv("N", sgn, a, x, beta=0.5, y=y, impl="auto")
+        want = xb.exgemv("N", sgn, a, x, beta=0.5, y=y, impl="xla")
+        assert (got.view(np.uint64) == want.view(np.uint64)).all()
+    # mixed: deep-subnormal rows alongside normal rows (per-row anchors)
+    a2 = np.concatenate([a, xb.init_fpuniform_matrix(m, k, 8, 0, seed=90)])
+    y2 = np.concatenate([y, xb.init_fpuniform(m, 8, 0, seed=91)])
+    got = xb.exgemv("N", 1.0, a2, x, beta=2.5, y=y2, impl="auto")
+    want = xb.exgemv("N", 1.0, a2, x, beta=2.5, y=y2, impl="xla")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()
