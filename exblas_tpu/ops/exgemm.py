@@ -237,7 +237,8 @@ def _gemm_bits_auto(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo,
                                            jnp.any(c_ninf)))
     else:
         covers = [jnp.bool_(True)] * len(_MXU_LADDER)
-        c_nan = c_pinf = c_ninf = jnp.zeros(c_hi.shape, jnp.bool_)
+        c_nan = c_pinf = c_ninf = jnp.zeros(
+            (a_hi.shape[0], b_hi.shape[1]), jnp.bool_)
         has_special_c = jnp.bool_(False)
 
     def mxu_branch(sa, sb):

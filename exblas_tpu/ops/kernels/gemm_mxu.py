@@ -7,18 +7,19 @@ paths:
 
 * anchor exponents: E_i = max exponent of row i of A, F_j = max exponent of
   column j of B;
-* each element is sliced into SA (resp. SB) signed 8-bit mantissa chunks
-  aligned to its row/column anchor -- each chunk is an integer in
-  (-256, 256), exactly representable in bf16.  An element is *covered* iff
-  its significand lies within 8*SA bits of the anchor; callers must check
-  coverage (``slice_spread``) and fall back to the VPU kernel otherwise;
-* slice-pair products: ``M_st = sum_k A_s[i,k] * B_t[k,j]`` over k-tiles of
-  256 are bf16 MXU matmuls with f32 accumulation -- every partial sum is an
-  integer of magnitude <= 256*255*255 < 2^24, so f32 accumulation is exact;
-* class deposits: ``a*b = sum_c M_c * 2^(E_i + F_j + 2 - 8(c+2))``.  In an
+* each element is recoded into SA+1 (resp. SB+1) *balanced signed base-256
+  digits* (int8, in [-128, 127]; the extra digit absorbs the recode carry)
+  aligned to its row/column anchor (``make_digits``).  An element is
+  *covered* iff its significand lies within 8*SA bits of the anchor;
+  callers must check coverage and fall back to the VPU kernel otherwise;
+* digit-pair products: ``M_st = sum_k A_s[i,k] * B_t[k,j]`` over k-tiles
+  of 256 are int8 MXU matmuls with exact int32 accumulation -- measured at
+  ~1.6x the bf16 rate (156 vs 98 Tmac/s), which more than pays for the
+  (SA+1)(SB+1) vs SA*SB extra products;
+* class deposits: ``a*b = sum_c M_c * 2^(E_i + F_j + 2 - 8c)``.  In an
   accumulator held *relative to the per-element anchor base* the deposit
   position depends only on c = s+t -- a compile-time constant -- so deposits
-  are two static vector adds per slice pair, no windowed scatter at all;
+  are two static vector adds per digit pair, no windowed scatter at all;
 * rounding happens in-kernel on the small relative accumulator with the
   per-element absolute exponent ``E_i + F_j`` re-applied.
 
@@ -43,7 +44,7 @@ from ...core.rounding import ieee_encode_round_pair
 from ...core.types import LIMB_BITS, LIMB_MASK
 
 LANES = 128
-KT = 256          # k-tile: f32 accumulation stays exact (sum < 2^24)
+KT = 256          # k-tile: int8 matmuls measured fastest at 256 (vs 1024)
 _I = jnp.int32
 _U = jnp.uint32
 _Z = _np.int32(0)
@@ -118,30 +119,6 @@ def _u(x):
     return x.astype(_U)
 
 
-def make_slices(hi, lo, anchors, n_slices: int, axis: int):
-    """Signed 8-bit anchored mantissa slices as bf16: (n_slices, m, k).
-
-    axis=0: anchors per row (shape (m,)); axis=1: anchors per column ((k,)).
-    Slice s holds bits [anchor+1-8(s+1), anchor+1-8s) of each element.
-    """
-    sign, expf, mhi, mlo = decode_fields(hi, lo)
-    e_lsb = jnp.maximum(expf, _I(1)) - _I(1075)  # exponent of significand lsb
-    anc = anchors[:, None] if axis == 0 else anchors[None, :]
-    sgn = jnp.where(sign == 1, _I(-1), _I(1))
-    valid = jnp.logical_and(expf != 0x7FF,
-                            jnp.logical_or(expf != 0,
-                                           jnp.logical_or(mhi != 0,
-                                                          mlo != 0)))
-    out = []
-    for s in range(n_slices):
-        cut = anc + _I(1) - _I(8 * (s + 1))   # absolute lsb of this slice
-        sh = cut - e_lsb                       # shift within the significand
-        piece = _extract8(mlo, mhi, sh).astype(_I) * sgn
-        piece = jnp.where(valid, piece, _I(0))
-        out.append(piece.astype(jnp.bfloat16))
-    return jnp.stack(out)
-
-
 def make_digits(hi, lo, anchors, n_slices: int, axis: int):
     """Balanced signed base-256 digits as int8: (n_slices + 1, m, k).
 
@@ -150,8 +127,9 @@ def make_digits(hi, lo, anchors, n_slices: int, axis: int):
     The recode is exact: sum_u d_u * 2^(anchor+1-8u) equals the signed
     element value (coverage: element lsb >= anchor + 1 - 8*n_slices, as
     checked by the dispatcher).  int8 digits let the slice-pair products
-    ride the MXU's int8 path (2x the bf16 rate) with exact int32
-    accumulation; zeros/specials become all-zero digits.
+    ride the MXU's int8 path (measured ~1.6x the bf16 rate) with exact
+    int32 accumulation; zeros/specials become all-zero digits.  axis=0:
+    anchors per row (shape (m,)); axis=1: anchors per column ((k,)).
     """
     sign, expf, mhi, mlo = decode_fields(hi, lo)
     e_lsb = jnp.maximum(expf, _I(1)) - _I(1075)
@@ -304,7 +282,7 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
                 bb_hi_ref, bb_lo_ref, yhi_out, ylo_out,
                 acc, dig, cls, *, sa, sb, l_rel, rel0, beta_mode):
     kt_i = pl.program_id(2)
-    n_cls = sa + sb - 1
+    n_cls = sa + sb + 1
 
     @pl.when(kt_i == 0)
     def _():
@@ -317,23 +295,24 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
             _deposit_beta_c_rel(acc, c_hi_ref[...], c_lo_ref[...],
                                 bb_h, bb_l, e_base, rel0, l_rel)
 
-    # slice-pair products fold into per-CLASS int32 accumulators (the
-    # deposit position depends only on c = s+t): one convert + one add per
-    # pair instead of a full limb-split deposit.  Class sums stay exact:
-    # <= min(sa, sb) pairs x 2^24 per tile, x2 tiles < 2^29.  (A stacked
-    # (sa*128, KT) single-matmul-per-B-slice variant measured ~3% slower
-    # at n=4096 -- the small (128, KT, 128) shape pipelines better.)
-    for s in range(sa):
-        a_s = a_sl_ref[s]          # (128, KT) bf16
-        for t in range(sb):
-            b_t = b_sl_ref[t]      # (KT, 128) bf16
-            m_f32 = jnp.dot(a_s, b_t, preferred_element_type=jnp.float32)
-            m = m_f32.astype(_I)   # exact: integer < 2^24
+    # digit-pair products fold into per-CLASS int32 accumulators (the
+    # deposit position depends only on c = s+t): one add per pair instead
+    # of a full limb-split deposit.  int8 x int8 -> int32 matmuls run at
+    # ~1.6x the bf16 rate on the MXU (measured 156 vs 98 Tmac/s), which
+    # beats the (sa+1)(sb+1)/(sa*sb) extra-carry-digit cost at every rung.
+    # Class sums stay exact in int32: <= (min(sa, sb)+1) pairs x KT * 2^14
+    # < 2^26 per tile, x2 tiles < 2^27.
+    for s in range(sa + 1):
+        a_s = a_sl_ref[s]          # (128, KT) int8
+        for t in range(sb + 1):
+            b_t = b_sl_ref[t]      # (KT, 128) int8
+            m = jax.lax.dot_general(
+                a_s, b_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=_I)
             cls[pl.ds((s + t) * LANES, LANES), :] += m
 
     # every 2 tiles (and at the end): limb-split the n_cls class rows into
-    # the relative accumulator and renorm.  A limb row receives ~2.5
-    # classes x up to 2^29-magnitude parts < 2^31 between renorms.
+    # the relative accumulator and renorm.
     spill = jnp.logical_or(
         jnp.bitwise_and(kt_i + 1, _I(1)) == 0,
         kt_i == pl.num_programs(2) - 1)
@@ -342,7 +321,9 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
     def _():
         for c in range(n_cls):
             m = cls[pl.ds(c * LANES, LANES), :]
-            p_rel = rel0 - 8 * (c + 2)
+            # digit u weight 2^(anchor+1-8u) => pair (s, t) weight
+            # 2^(e_base - 8(s+t)); acc bit 0 sits at e_base - rel0
+            p_rel = rel0 - 8 * c
             q, r = divmod(p_rel, LIMB_BITS)
             h = m >> _I(LIMB_BITS)
             l_ = m - (h << _I(LIMB_BITS))
@@ -362,15 +343,17 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
         ylo_out[...] = lo32
 
 
-def mxu_l_rel(sa: int, sb: int, beta_mode: str) -> int:
-    """Relative-accumulator depth (limbs) for a slice configuration.
+def mxu_l_rel(sa: int, sb: int, beta_mode: str, k_pad: int) -> int:
+    """Relative-accumulator depth (limbs) for a digit configuration.
 
-    Slice-pair deposits land in [rel0 - 8(sa+sb) - 16, rel0 + 8]; beta*C
-    products may additionally reach up to ~MXU_BETA_HEAD bits above the
-    anchor (coverage-checked by the dispatcher), so the beta modes carry
-    three extra limbs of headroom."""
+    Digit-pair deposits land in [0, rel0]; the exact value itself is
+    bounded by k * 2^e_base, i.e. top bit rel0 + ceil(log2 k), and spill
+    transients stay within ~rel0 + 8.  beta*C products may additionally
+    reach up to ~MXU_BETA_HEAD bits above the anchor (coverage-checked by
+    the dispatcher), so the beta modes carry three extra limbs."""
     rel0 = 8 * (sa + sb)
-    l_rel = (rel0 - 16 + 24) // LIMB_BITS + 2
+    klog = max(k_pad - 1, 1).bit_length()
+    l_rel = (rel0 + max(klog + 1, 8) + 2) // LIMB_BITS + 2
     if beta_mode != "zero":
         l_rel += 3
     return l_rel
@@ -418,11 +401,11 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
     ea = jnp.where(ea < -9000, _I(0), ea)  # all-zero rows: anchor irrelevant
     fb = jnp.where(fb < -9000, _I(0), fb)
 
-    a_sl = make_slices(a_hi, a_lo, ea, sa, axis=0)   # (sa, m, k) bf16
-    b_sl = make_slices(b_hi, b_lo, fb, sb, axis=1)   # (sb, k, n) bf16
+    a_sl = make_digits(a_hi, a_lo, ea, sa, axis=0)   # (sa+1, m, k) int8
+    b_sl = make_digits(b_hi, b_lo, fb, sb, axis=1)   # (sb+1, k, n) int8
 
     rel0 = 8 * (sa + sb)
-    l_rel = mxu_l_rel(sa, sb, beta_mode)
+    l_rel = mxu_l_rel(sa, sb, beta_mode, k_pad)
 
     e_b = jnp.broadcast_to(ea[:, None], (m_pad, LANES))      # (m, 128)
     f_b = jnp.broadcast_to(fb[None, :], (8, n_pad))          # (8, n)
@@ -432,9 +415,9 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
                           rel0=rel0, beta_mode=beta_mode),
         grid=(m_pad // LANES, n_pad // LANES, k_pad // KT),
         in_specs=[
-            pl.BlockSpec((sa, LANES, KT), lambda i, j, kt: (_Z, i, kt),
+            pl.BlockSpec((sa + 1, LANES, KT), lambda i, j, kt: (_Z, i, kt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sb, KT, LANES), lambda i, j, kt: (_Z, kt, j),
+            pl.BlockSpec((sb + 1, KT, LANES), lambda i, j, kt: (_Z, kt, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, _Z),
                          memory_space=pltpu.VMEM),
@@ -462,7 +445,7 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
         scratch_shapes=[
             pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
             pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
-            pltpu.VMEM(((sa + sb - 1) * LANES, LANES), jnp.int32),
+            pltpu.VMEM(((sa + sb + 1) * LANES, LANES), jnp.int32),
         ],
     )(a_sl, b_sl, e_b, f_b, c_hi, c_lo, bb_h, bb_l)
     return hi[:m, :n], lo[:m, :n]
