@@ -44,7 +44,7 @@ from ...core.rounding import ieee_encode_round_pair
 from ...core.types import LIMB_BITS, LIMB_MASK
 
 LANES = 128
-KT = 256          # k-tile: int8 matmuls measured fastest at 256 (vs 1024)
+KT = 1024         # max k-tile; large rungs shrink it to fit VMEM (_pick_kt)
 _I = jnp.int32
 _U = jnp.uint32
 _Z = _np.int32(0)
@@ -158,10 +158,12 @@ def make_digits(hi, lo, anchors, n_slices: int, axis: int):
 # ---------------------------------------------------------------------------
 
 def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
-    """Round the (l_rel*128, 128) relative accumulator -> (hi, lo) u32
-    (128, 128).  acc rows [q*128, (q+1)*128) hold limb q of all 128x128
-    elements.  e_base (128, 128) int32: absolute exponent of rel bit rel0.
+    """Round the (l_rel*128, bn) relative accumulator -> (hi, lo) u32
+    (128, bn).  acc rows [q*128, (q+1)*128) hold limb q of all 128 x bn
+    elements.  e_base (128, bn) int32: absolute exponent of rel bit rel0.
     """
+    bn = acc.shape[1]
+
     def canon(j, carry):
         d = acc[pl.ds(j * LANES, LANES), :] + carry
         digit = d & _I(LIMB_MASK)
@@ -169,7 +171,7 @@ def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
         return (d - digit) >> _I(LIMB_BITS)
 
     carry_out = jax.lax.fori_loop(
-        _I(0), _I(l_rel), canon, jnp.zeros((LANES, LANES), _I))
+        _I(0), _I(l_rel), canon, jnp.zeros((LANES, bn), _I))
     negative = carry_out < 0
 
     def negate(j, borrow):
@@ -180,7 +182,7 @@ def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
         return t >> _I(LIMB_BITS)
 
     jax.lax.fori_loop(_I(0), _I(l_rel), negate,
-                      jnp.ones((LANES, LANES), _I))
+                      jnp.ones((LANES, bn), _I))
 
     def msb20(d):
         f = jnp.maximum(d, _I(1)).astype(jnp.float32)
@@ -193,7 +195,7 @@ def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
         return jnp.where(d != 0, jnp.maximum(p, cand), p)
 
     p_msb = jax.lax.fori_loop(_I(0), _I(l_rel), find_p,
-                              jnp.full((LANES, LANES), -1, _I))
+                              jnp.full((LANES, bn), -1, _I))
     pos_low = p_msb - _I(54)
 
     def clip(x, lo, hi_):
@@ -225,8 +227,8 @@ def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
 
     w_hi, w_lo, sticky_i = jax.lax.fori_loop(
         _I(0), _I(l_rel), window,
-        (jnp.zeros((LANES, LANES), _U), jnp.zeros((LANES, LANES), _U),
-         jnp.zeros((LANES, LANES), _I)))
+        (jnp.zeros((LANES, bn), _U), jnp.zeros((LANES, bn), _U),
+         jnp.zeros((LANES, bn), _I)))
 
     sign = jnp.where(negative, _I(1), _I(0))
     e_msb = p_msb + e_base - _I(rel0)
@@ -280,7 +282,7 @@ def _deposit_beta_c_rel(acc, c_hi, c_lo, bb_hi, bb_lo, e_base, rel0, l_rel):
 
 def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
                 bb_hi_ref, bb_lo_ref, yhi_out, ylo_out,
-                acc, dig, cls, *, sa, sb, l_rel, rel0, beta_mode):
+                acc, dig, cls, *, sa, sb, l_rel, rel0, beta_mode, kt):
     kt_i = pl.program_id(2)
     n_cls = sa + sb + 1
 
@@ -289,9 +291,10 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
         acc[...] = jnp.zeros_like(acc)
         cls[...] = jnp.zeros_like(cls)
         if beta_mode != "zero":
-            e_base = e_ref[...] + f_ref[0:1, :] + _I(2)
-            bb_h = jnp.broadcast_to(bb_hi_ref[...], (LANES, LANES))
-            bb_l = jnp.broadcast_to(bb_lo_ref[...], (LANES, LANES))
+            bn = acc.shape[1]
+            e_base = e_ref[:, 0:1] + f_ref[0:1, :] + _I(2)
+            bb_h = jnp.broadcast_to(bb_hi_ref[0:1, 0:1], (LANES, bn))
+            bb_l = jnp.broadcast_to(bb_lo_ref[0:1, 0:1], (LANES, bn))
             _deposit_beta_c_rel(acc, c_hi_ref[...], c_lo_ref[...],
                                 bb_h, bb_l, e_base, rel0, l_rel)
 
@@ -302,6 +305,8 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
     # beats the (sa+1)(sb+1)/(sa*sb) extra-carry-digit cost at every rung.
     # Class sums stay exact in int32: <= (min(sa, sb)+1) pairs x KT * 2^14
     # < 2^26 per tile, x2 tiles < 2^27.
+    # pair-major order keeps a_s stationary in the MXU across the t loop
+    # (class-major register accumulation measured ~4% slower).
     for s in range(sa + 1):
         a_s = a_sl_ref[s]          # (128, KT) int8
         for t in range(sb + 1):
@@ -311,10 +316,15 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
                 preferred_element_type=_I)
             cls[pl.ds((s + t) * LANES, LANES), :] += m
 
-    # every 2 tiles (and at the end): limb-split the n_cls class rows into
-    # the relative accumulator and renorm.
+    # every 2048 k-elements (and at the end): limb-split the n_cls class
+    # rows into the relative accumulator and renorm.  Bounds: class sums
+    # reach (min(sa,sb)+1) pairs x 2048 * 2^14 < 2^29.1 (sa=sb=16), so the
+    # spill split's high part h < 2^9.1 and each limb's per-spill gain
+    # (~3 p0 + ~3 up terms) stays < 2^30 against the int32 slack; renorm
+    # right after re-bounds the limbs.
+    period = max(1, 2048 // kt)
     spill = jnp.logical_or(
-        jnp.bitwise_and(kt_i + 1, _I(1)) == 0,
+        jnp.bitwise_and(kt_i + 1, _I(period - 1)) == 0,
         kt_i == pl.num_programs(2) - 1)
 
     @pl.when(spill)
@@ -337,7 +347,7 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
 
     @pl.when(kt_i == pl.num_programs(2) - 1)
     def _():
-        e_base = e_ref[...] + f_ref[0:1, :] + _I(2)  # (128,128) + (1,128)
+        e_base = e_ref[:, 0:1] + f_ref[0:1, :] + _I(2)  # (128,1) + (1,bn)
         hi32, lo32 = _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0)
         yhi_out[...] = hi32
         ylo_out[...] = lo32
@@ -364,6 +374,26 @@ def mxu_l_rel(sa: int, sb: int, beta_mode: str, k_pad: int) -> int:
 MXU_BETA_HEAD = 36
 
 
+def _vmem_estimate(sa: int, sb: int, l_rel: int, bn: int, kt: int) -> int:
+    scratch = (2 * l_rel + (sa + sb + 1)) * LANES * bn * 4
+    blocks = 2 * ((sa + 1) * LANES * kt + (sb + 1) * kt * bn
+                  + 2 * LANES * bn * 4 + 2 * LANES * bn * 4)
+    return scratch + blocks
+
+
+def _pick_kt_bn(sa: int, sb: int, l_rel: int) -> tuple[int, int]:
+    """(k-tile, out-block width) for a rung.  Bigger k-tiles amortize the
+    per-pair cls adds (~1 VPU add per C element per pair per tile --
+    measured 49.9 -> 43.8 ms at n=4096 going 256 -> 1024); large rungs
+    shrink the tile to stay within ~12 MB of VMEM (scratch + pipelined
+    blocks).  bn=256 measured slightly slower than 128 at (8,8), so the
+    width stays 128."""
+    for kt in (1024, 512, 256):
+        if _vmem_estimate(sa, sb, l_rel, 128, kt) <= 12 * 2**20:
+            return kt, 128
+    return 128, 128
+
+
 @functools.partial(jax.jit, static_argnames=("sa", "sb", "beta_mode"))
 def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
                   beta_hi=None, beta_lo=None, beta_mode: str = "zero",
@@ -379,9 +409,11 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
     """
     m, k = a_hi.shape
     _, n = b_hi.shape
+    kt0, bn = _pick_kt_bn(sa, sb,
+                          mxu_l_rel(sa, sb, beta_mode, -(-k // KT) * KT))
+    k_pad = -(-k // kt0) * kt0
     m_pad = -(-m // LANES) * LANES
-    n_pad = -(-n // LANES) * LANES
-    k_pad = -(-k // KT) * KT
+    n_pad = -(-n // bn) * bn
     a_hi = jnp.pad(a_hi, ((0, m_pad - m), (0, k_pad - k)))
     a_lo = jnp.pad(a_lo, ((0, m_pad - m), (0, k_pad - k)))
     b_hi = jnp.pad(b_hi, ((0, k_pad - k), (0, n_pad - n)))
@@ -407,25 +439,25 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
     rel0 = 8 * (sa + sb)
     l_rel = mxu_l_rel(sa, sb, beta_mode, k_pad)
 
-    e_b = jnp.broadcast_to(ea[:, None], (m_pad, LANES))      # (m, 128)
+    e_b = jnp.broadcast_to(ea[:, None], (m_pad, 8))          # (m, 8)
     f_b = jnp.broadcast_to(fb[None, :], (8, n_pad))          # (8, n)
 
     hi, lo = pl.pallas_call(
         functools.partial(_mxu_kernel, sa=sa, sb=sb, l_rel=l_rel,
-                          rel0=rel0, beta_mode=beta_mode),
-        grid=(m_pad // LANES, n_pad // LANES, k_pad // KT),
+                          rel0=rel0, beta_mode=beta_mode, kt=kt0),
+        grid=(m_pad // LANES, n_pad // bn, k_pad // kt0),
         in_specs=[
-            pl.BlockSpec((sa + 1, LANES, KT), lambda i, j, kt: (_Z, i, kt),
+            pl.BlockSpec((sa + 1, LANES, kt0), lambda i, j, kt: (_Z, i, kt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sb + 1, KT, LANES), lambda i, j, kt: (_Z, kt, j),
+            pl.BlockSpec((sb + 1, kt0, bn), lambda i, j, kt: (_Z, kt, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, _Z),
+            pl.BlockSpec((LANES, 8), lambda i, j, kt: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda i, j, kt: (_Z, j),
+            pl.BlockSpec((8, bn), lambda i, j, kt: (_Z, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, j),
+            pl.BlockSpec((LANES, bn), lambda i, j, kt: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, j),
+            pl.BlockSpec((LANES, bn), lambda i, j, kt: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda i, j, kt: (_Z, _Z),
                          memory_space=pltpu.VMEM),
@@ -433,9 +465,9 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, j),
+            pl.BlockSpec((LANES, bn), lambda i, j, kt: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i, j, kt: (i, j),
+            pl.BlockSpec((LANES, bn), lambda i, j, kt: (i, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -443,9 +475,9 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
             jax.ShapeDtypeStruct((m_pad, n_pad), jnp.uint32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
-            pltpu.VMEM((l_rel * LANES, LANES), jnp.int32),
-            pltpu.VMEM(((sa + sb + 1) * LANES, LANES), jnp.int32),
+            pltpu.VMEM((l_rel * LANES, bn), jnp.int32),
+            pltpu.VMEM((l_rel * LANES, bn), jnp.int32),
+            pltpu.VMEM(((sa + sb + 1) * LANES, bn), jnp.int32),
         ],
     )(a_sl, b_sl, e_b, f_b, c_hi, c_lo, bb_h, bb_l)
     return hi[:m, :n], lo[:m, :n]
