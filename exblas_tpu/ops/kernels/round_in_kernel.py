@@ -151,7 +151,8 @@ def _lsb20(d):
     return _msb20(d & (-d))
 
 
-def round_lanes_acc(dacc, spec, n_limbs, offset_bits, e_adjust=None):
+def round_lanes_acc(dacc, spec, n_limbs, offset_bits, e_adjust=None,
+                    j_lo=None, j_hi=None):
     """Correctly round all 128 lane accumulators of dacc (L, 128) at once.
 
     ``offset_bits`` positions absolute accumulators (bit p of the
@@ -160,16 +161,27 @@ def round_lanes_acc(dacc, spec, n_limbs, offset_bits, e_adjust=None):
     exponent ``p + e_adjust[lane]`` (used by the MXU GEMV kernel whose
     accumulator is anchored per output row).
 
-    Pass 1 canonicalizes (sequential carry chain over L limbs) *with
-    write-back* -- dacc limbs stay canonical, so per-step deposit growth can
-    never overflow -- while tracking, per lane: the leading-bit position of
-    the positive and of the negated digit stream, and the lowest set bit
-    (which yields the sticky exactly and lets the negated digits be
-    reconstructed pointwise in pass 2).  Pass 2 assembles the 55-bit leading
-    window over at most a handful of limbs.
+    ``j_lo``/``j_hi`` (traced int32 scalars) optionally bound the occupied
+    limb range [j_lo, j_hi]; every limb outside MUST be zero.  The TRSV
+    diagonal solve tracks its deposit windows and passes them here, cutting
+    pass 1 from n_limbs (216) iterations to the ~10-limb live range.
+    An empty range (j_lo > j_hi) rounds to +0.
+
+    Pass 1 canonicalizes (sequential carry chain over the live limbs)
+    *with write-back* -- dacc limbs stay canonical, so per-step deposit
+    growth can never overflow -- while tracking, per lane: the leading-bit
+    position of the positive and of the negated digit stream, and the
+    lowest set bit (which yields the sticky exactly and lets the negated
+    digits be reconstructed pointwise in pass 2).  Pass 2 assembles the
+    55-bit leading window over at most a handful of limbs.
 
     Returns (hi32, lo32) of shape (1, 128).
     """
+    if j_lo is None:
+        j_lo = _I(0)
+    if j_hi is None:
+        j_hi = _I(n_limbs - 1)
+
     def pass1(j, st):
         carry, seen, p_pos, p_neg, q_lsb = st
         row = dacc[pl.ds(j, 1), :]
@@ -194,13 +206,15 @@ def round_lanes_acc(dacc, spec, n_limbs, offset_bits, e_adjust=None):
 
     zero_row = jnp.zeros((1, LANES), _I)
     carry, _, p_pos, p_neg, q_lsb = jax.lax.fori_loop(
-        _I(0), _I(n_limbs), pass1,
+        j_lo, j_hi + 1, pass1,
         (zero_row, zero_row, jnp.full((1, LANES), -1, _I),
          jnp.full((1, LANES), -1, _I), jnp.full((1, LANES), n_limbs * LIMB_BITS + 99, _I)),
     )
     # Final carry is in {-1, 0} by format headroom; fold it into the top limb
     # so dacc keeps representing the exact value (pass 2 masks it back out).
-    dacc[pl.ds(n_limbs - 1, 1), :] += carry << _I(LIMB_BITS)
+    # (Empty range: carry is 0, the clamped write is a no-op.)
+    j_top = jnp.clip(j_hi, _I(0), _I(n_limbs - 1))
+    dacc[pl.ds(j_top, 1), :] += carry << _I(LIMB_BITS)
     negative = carry < 0
 
     p_msb = jnp.where(negative, p_neg, p_pos)

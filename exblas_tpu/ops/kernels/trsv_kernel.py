@@ -162,18 +162,27 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
     def _():
         _renorm8(acc)
 
-        # Merge the 8 k-phases into the (L, 128) solve accumulator.
-        def merge(j, carry):
-            dacc[pl.ds(j, 1), :] = jnp.sum(
+        # Merge the 8 k-phases into the (L, 128) solve accumulator,
+        # tracking the occupied limb range: the per-step rounding then
+        # canonicalizes only the ~10 live limbs instead of all 216.
+        def merge(j, st):
+            jlo, jhi = st
+            row = jnp.sum(
                 acc[pl.ds(j * 8, 8), :], axis=0, keepdims=True, dtype=_I)
-            return carry
+            dacc[pl.ds(j, 1), :] = row
+            nz = jnp.max(jnp.where(row != 0, _I(1), _I(0)))
+            jlo = jnp.where(jnp.logical_and(nz > 0, jlo > j), j, jlo)
+            jhi = jnp.where(nz > 0, j, jhi)
+            return jlo, jhi
 
-        jax.lax.fori_loop(_I(0), _I(L), merge, _I(0))
+        jlo0, jhi0 = jax.lax.fori_loop(
+            _I(0), _I(L), merge, (_I(L + 99), _I(-1)))
 
-        def step(i, xb):
-            xb_hi, xb_lo = xb
+        def step(i, st):
+            xb_hi, xb_lo, jlo, jhi = st
             num_hi, num_lo = round_lanes_acc(dacc, spec, L,
-                                             DOT_FORMAT.offset_bits)
+                                             DOT_FORMAT.offset_bits,
+                                             j_lo=jlo, j_hi=jhi)
             num_hi = _lane_bcast(num_hi, lane, i)
             num_lo = _lane_bcast(num_lo, lane, i)
             tcol_hi = tt_hi_ref[pl.ds(i, 1), :]  # T[base+j, base+i], j lanes
@@ -211,6 +220,9 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
                 qk = q + dq
                 qmin = jnp.min(jnp.where(t["valid"], qk, big))
                 qmax = jnp.max(jnp.where(t["valid"], qk, _I(-1)))
+                jlo = jnp.minimum(jlo, qmin)
+                jhi = jnp.maximum(
+                    jhi, jnp.where(qmax >= 0, qmax + _I(2), _I(-1)))
 
                 def body(w, carry, qk=qk, pieces=pieces):
                     d = w - qk
@@ -224,11 +236,11 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
             spec[0:1, :] += t["nan"]
             spec[1:2, :] += t["pinf"]
             spec[2:3, :] += t["ninf"]
-            return xb_hi, xb_lo
+            return xb_hi, xb_lo, jlo, jhi
 
-        xb_hi, xb_lo = jax.lax.fori_loop(
+        xb_hi, xb_lo, _, _ = jax.lax.fori_loop(
             _I(0), _I(B), step,
-            (jnp.zeros((1, B), _U), jnp.zeros((1, B), _U)))
+            (jnp.zeros((1, B), _U), jnp.zeros((1, B), _U), jlo0, jhi0))
         x_hi_out[pl.ds(kb, 1), :] = xb_hi
         x_lo_out[pl.ds(kb, 1), :] = xb_lo
 
