@@ -45,7 +45,7 @@ def main():
         ab, bb = split_f64(a), split_f64(b)
         args = tuple(jax.device_put(v) for v in
                      (ab.hi, ab.lo, bb.hi, bb.lo))
-        t = amortized_seconds(mk, args, R=17, reps=3)
+        t = amortized_seconds(mk, args, R=129, reps=4)
         print(json.dumps({"dist": name,
                           "GBps": round(16.0 * n / t / 1e9, 1)}),
               flush=True)
@@ -63,7 +63,7 @@ def main():
             return s
         return f
 
-    t = amortized_seconds(mk_base, (ad, bd), R=17, reps=3)
+    t = amortized_seconds(mk_base, (ad, bd), R=129, reps=4)
     print(json.dumps({"dist": "control_f64emu_dot",
                       "GBps": round(16.0 * n / t / 1e9, 1)}), flush=True)
 

@@ -50,7 +50,7 @@ def main():
         b = split_f64(x)
         hi = jax.device_put(b.hi)
         lo = jax.device_put(b.lo)
-        t = amortized_seconds(mk, (hi, lo), R=33, reps=3)
+        t = amortized_seconds(mk, (hi, lo), R=129, reps=4)
         out[name] = round(8.0 * n / t / 1e9, 1)
         print(json.dumps({"dist": name, "GBps": out[name]}), flush=True)
 
@@ -67,7 +67,7 @@ def main():
             return s
         return f
 
-    t = amortized_seconds(mk_base, (xd,), R=33, reps=3)
+    t = amortized_seconds(mk_base, (xd,), R=129, reps=4)
     print(json.dumps({"dist": "control_f64emu_sum",
                       "GBps": round(8.0 * n / t / 1e9, 1)}), flush=True)
 
