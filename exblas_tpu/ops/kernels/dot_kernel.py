@@ -4,11 +4,11 @@ Replaces the reference's TwoProductFMA + FPE tail-insertion scheme
 (reference ExDOT.FPE.cl:226-270) with an exact integer path: each product
 ``a[i]*b[i]`` is formed as seven 30-bit "shift classes" from 14-bit mantissa
 pieces (an exact 106-bit schoolbook product -- the TPU has no fp64 FMA at
-all).  The classes are then combined *directly* into seven 20-bit limb
-digit planes positioned at the product's base limb (static funnel shifts;
-the per-element intra-limb offset r is folded into the shifts), so one
-windowed pass over the block's distinct base limbs deposits everything --
-no per-class scatter loops.
+all).  Each class is then shifted ONCE by the
+per-element intra-limb offset r into a (lo, hi) word pair, from which
+seven redundant 20-bit limb digit planes are gathered with purely static
+shifts, so one windowed pass over the block's distinct base limbs deposits
+everything -- no per-class scatter loops, no per-plane variable shifts.
 
 The accumulator covers the full product range down to 2^-2148, so products
 that underflow double precision are kept exactly -- stronger than the
@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core import deposit as dep
 from ...core.accumulator import to_int32_limbs
 from ...core.types import L_DOT, DOT_FORMAT, LIMB_BITS, LIMB_MASK, Superacc
-from .sum_kernel import LANES, _renorm8
+from .sum_kernel import LANES, _renorm8, _tree8
 
 _I = jnp.int32
 _U = jnp.uint32
@@ -40,10 +40,11 @@ _Z = _np.int32(0)
 
 N_PLANES = 7  # (106 product bits + 19 offset bits) / 20 -> 7 digit planes
 
-# A limb row receives at most min(N_PLANES, window) planes per block, each a
-# phase sum of rows/8 digits < 2^20 (digit sums of <= 3 class pieces stay
-# < 3 * 2^20 before masking... conservatively bound by 3 * 2^20):
-# growth <= RENORM_EVERY * (rows/8) * 7 * 3 * 2^20 must stay < 2^31 - 2^21.
+# Limb-row growth bound: each element contributes to a given limb row via
+# exactly ONE of its 7 planes (the t with q + t = row), and a plane digit is
+# a sum of <= 7 masked 20-bit parts (< 7 * 2^20, see _digit_planes), so
+# growth <= RENORM_EVERY * (rows/8) * 7 * 2^20 must stay < 2^31 - 2^21
+# => RENORM_EVERY * rows <= 2336.
 RENORM_EVERY = 2
 MAX_ROWS_X_RENORM = 640
 
@@ -72,45 +73,44 @@ def _pieces14(mhi, mlo):
 
 
 def _digit_planes(classes, r):
-    """Combine the 7 shift classes into 7 signed-magnitude 20-bit digit
+    """Combine the 7 shift classes into 7 unsigned redundant 20-bit digit
     planes of the product's bit image shifted left by r (r in [0, 20)).
 
-    Class k occupies bits [14k + r, 14k + r + 30); digit plane j collects
-    bits [20j, 20j + 20).  All shift offsets c = 14k - 20j are static, so
-    each (j, k) contribution is a couple of shifts plus at most one guard
-    select; digits are *redundant* (< 3 * 2^20, carries resolved by the
-    accumulator's renorm passes), so no carry propagation is needed here.
+    Two steps: (1) each class (< 2^30 at bit 14k of the product) is shifted
+    by the per-element r ONCE into a (lo, hi) word pair -- cls * 2^r =
+    lo + 2^32 * hi with lo at absolute bit 14k and hi at 14k + 32 (the only
+    variable shifts, 3 ops per class); (2) plane j = bits [20j, 20j+20)
+    gathers from those words with purely STATIC shifts -- no guards or
+    selects (the previous per-(j,k) variable-shift scheme needed a wrap
+    guard per pair; measured ~20% slower end to end).  Digits are redundant
+    (plane j sums <= 7 masked 20-bit parts, < 2^23); carries resolve in the
+    accumulator's renorm passes.  Exactness: sum_j plane_j * 2^20j equals
+    sum_k cls_k * 2^(14k + r) exactly, so the accumulated value -- and
+    hence the rounded result -- is bit-identical to any other exact
+    decomposition.
     """
     ru = jax.lax.bitcast_convert_type(r, _U)
+    rn = jax.lax.bitcast_convert_type(_I(20) - r, _U)
     m20 = _U(LIMB_MASK)
     cls_u = [jax.lax.bitcast_convert_type(c, _U) for c in classes]
+    los = [c << ru for c in cls_u]                 # bits [14k, 14k+32)
+    # cls >> (32 - r) with r in [0, 20): both shifts statically <= 31,
+    # and r == 0 correctly yields 0
+    his = [(c >> _U(12)) >> rn for c in cls_u]     # bits [14k+32, 14k+50)
     planes = []
     for j in range(N_PLANES):
         acc = None
         for k in range(N_PLANES):
-            c = 14 * k - 20 * j
-            # contribution exists iff s = c + r can fall in (-30, 20)
-            if c + 19 <= -30 or c >= 20:
-                continue
-            cu = cls_u[k]
-            if c >= 0:
-                # s in [c, c+20) >= 0; s <= c+19 <= 38: guard s >= 32 when
-                # possible (wrapping shift would alias)
-                part = cu << ((ru + _U(c % (1 << 32))) & _U(31))
-                if c + 19 >= 32:
-                    part = jnp.where(r >= _I(32 - c), _U(0), part)
-            elif c <= -20:
-                # s in [c, c+20) < 0 always; -s in (-c-20, -c], -c <= 48
-                part = cu >> ((_U(-c) - ru) & _U(31))
-                if -c >= 32:
-                    part = jnp.where(r <= _I(-c - 32), _U(0), part)
-            else:
-                # sign straddles zero within the r range
-                left = cu << ((ru + _U(c % (1 << 32))) & _U(31))
-                right = cu >> ((_U(-c) - ru) & _U(31))
-                part = jnp.where(r >= _I(-c), left, right)
-            part = part & m20
-            acc = part if acc is None else acc + part
+            d = 20 * j - 14 * k
+            if -20 < d < 32:                       # lo_k overlaps plane j
+                part = (los[k] >> _U(d)) if d >= 0 else (los[k] << _U(-d))
+                part = part & m20
+                acc = part if acc is None else acc + part
+            d2 = d - 32
+            if -20 < d2 < 18:                      # hi_k overlaps plane j
+                part = (his[k] >> _U(d2)) if d2 >= 0 else (his[k] << _U(-d2))
+                part = part & m20
+                acc = part if acc is None else acc + part
         planes.append(jax.lax.bitcast_convert_type(acc, _I))
     return planes
 
@@ -165,19 +165,29 @@ def _count_specials(spec, hi_a, lo_a, hi_b, lo_b):
 
 
 def _dot_deposit(acc, q, planes, bvalid, group):
+    del group
     big = _I(L_DOT + 8)
     qmin = jnp.min(jnp.where(bvalid, q, big))
     qmax = jnp.max(jnp.where(bvalid, q, _I(-1)))
 
-    def body(v, carry):
-        mask = q == v
+    # Fast path: all valid products share one base limb (common for
+    # realistic exponent ranges) -- no per-plane selects; zero/special
+    # products have all-zero planes, so including them at qmin is exact.
+    @pl.when(qmin == qmax)
+    def _():
         for t, plane in enumerate(planes):
-            sel = jnp.where(mask, plane, _I(0))
-            ph = jnp.sum(sel.reshape(group, 8, LANES), axis=0, dtype=_I)
-            acc[pl.ds((v + _I(t)) * 8, 8), :] += ph
-        return carry
+            acc[pl.ds((qmin + _I(t)) * 8, 8), :] += _tree8(plane)
 
-    jax.lax.fori_loop(qmin, qmax + 1, body, _I(0))
+    @pl.when(qmin != qmax)
+    def _():
+        def body(v, carry):
+            mask = q == v
+            for t, plane in enumerate(planes):
+                sel = jnp.where(mask, plane, _I(0))
+                acc[pl.ds((v + _I(t)) * 8, 8), :] += _tree8(sel)
+            return carry
+
+        jax.lax.fori_loop(qmin, qmax + 1, body, _I(0))
 
 
 def _dot_block(hi_a, lo_a, hi_b, lo_b, acc, spec, rows):

@@ -30,6 +30,7 @@ from ...core import deposit as dep
 from ...core.types import DOT_FORMAT, L_DOT, LIMB_BITS
 from .gemv_kernel import _renorm8
 from .round_in_kernel import round_phase_acc
+from .sum_kernel import _tree8
 
 LANES = 128
 _I = jnp.int32
@@ -58,9 +59,7 @@ def _deposit_products_phase(acc, t, group):
             contrib = jnp.where(d == 1, pieces[1], contrib)
             contrib = jnp.where(d == 2, pieces[2], contrib)
             if group > 1:
-                ph = jnp.sum(contrib.reshape(group, 8, LANES), axis=0,
-                             dtype=_I)
-                acc[pl.ds(j * 8, 8), :] += ph
+                acc[pl.ds(j * 8, 8), :] += _tree8(contrib)
             else:
                 acc[pl.ds(j * 8, contrib.shape[0]), :] += contrib
             return carry
