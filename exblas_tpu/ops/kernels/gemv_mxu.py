@@ -19,9 +19,14 @@ is exact and hence bit-identical to the VPU/XLA paths:
   sums at once with exact int32 accumulation:
   ``N_w[t, 4i+b] = sum_k (byte_b(w)[i,k] - 128) * d_t[k]``;
 * spills land in a per-byte-lane *relative* accumulator (lane 4i+b, bit
-  position lane-shifted by 8b); the XLA epilogue folds byte lanes,
-  applies the excess-128 compensation (a global limb constant from the
-  z-digit column sums) and the sign-mask matmul correction, shifts each
+  position lane-shifted by 8b);
+* beta == 0 (the common case): the last grid step folds byte lanes (one
+  tiny f32 selection matmul), applies the excess-128 compensation (a
+  global limb constant from the z-digit column sums) and the sign-mask
+  matmul correction, canonicalizes and correctly rounds every row
+  accumulator IN-KERNEL (all int32) -- nothing but the result bit pairs
+  leaves the device path;
+* beta != 0: an XLA epilogue does the same fold/corrections, shifts each
   row's relative limbs into the absolute DOT-format accumulator, deposits
   ``beta*y`` exactly there (no coverage constraint), and rounds once.
 
@@ -425,9 +430,64 @@ def _spill_lane_deposit(arel_ref, v, base: int, bofs, l_rel: int):
         arel_ref[0, pl.ds(j, 1), :] += lo_c + h_c
 
 
-def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref,
-                     arel_out, cacc_out, macc,
-                     *, nwa, nwz, k_pad, spill_tiles):
+def _fold_byte_lanes(a, l_rel):
+    """(l_rel, 512) byte-interleaved limbs -> (l_rel, 128): lane i receives
+    lanes 4i..4i+3 summed, via one tiny f32 selection matmul (cross-lane
+    compaction has no cheap VPU form).  Exact: post-renorm limbs are in
+    [0, 2^20) and the whole-kept top row only accumulates renorm carries
+    (< 2^11 per spill, <= 128 spills => < 2^18), so every operand and
+    every 4-term sum is an integer < 2^22, exactly representable in f32
+    (HIGHEST precision: the default single-pass bf16 MXU path WOULD round
+    -- bf16 carries 8 mantissa bits)."""
+    r_idx = jax.lax.broadcasted_iota(_I, (4 * LANES, LANES), 0)
+    c_idx = jax.lax.broadcasted_iota(_I, (4 * LANES, LANES), 1)
+    sel = jnp.where((r_idx >> _I(2)) == c_idx, jnp.float32(1.0),
+                    jnp.float32(0.0))
+    folded = jax.lax.dot_general(
+        a.astype(jnp.float32), sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    return folded.astype(_I)
+
+
+def _gemv_round_in_kernel(arel_out, cacc_out, corr_ref, eadj_ref, bits_out,
+                          dacc, *, nwa, nwz, l_rel, r0):
+    """Last-k-step epilogue: fold byte lanes, apply the sign-mask and
+    excess-128 corrections, canonicalize and correctly round each of the
+    128 row accumulators -- all in int32 on the VPU.  Replaces the XLA
+    epilogue for beta == 0 (int64 emulation there cost ~25% of the whole
+    call at 8192^2)."""
+    from .round_in_kernel import round_lanes_acc
+
+    w_a = 32 * nwa
+    nz = 32 * nwz // 8 + 1
+    l_pad = l_rel + 2
+
+    rel = _fold_byte_lanes(arel_out[0], l_rel)          # (l_rel, 128)
+    dacc[pl.ds(0, l_rel), :] = rel + corr_ref[0:l_rel, :]
+    dacc[pl.ds(l_rel, l_pad - l_rel), :] = jnp.zeros(
+        (l_pad - l_rel, LANES), _I)
+    # sign-mask correction: -2^w_a * sum_k negm_k * z; digit t at relative
+    # bit w_a + 8t, deposited as (low20, high) -- int32-safe split
+    # (|cacc| <= k_pad * 128 < 2^29; |high| < 2^29, limb slack absorbs it).
+    for t in range(nz):
+        j, rr = divmod(w_a + 8 * t, LIMB_BITS)
+        v = -cacc_out[0, t, :][None, :]
+        h = v >> _I(LIMB_BITS - rr)
+        low = (v << _I(rr)) & _I(LIMB_MASK)
+        dacc[pl.ds(j, 1), :] += low
+        dacc[pl.ds(j + 1, 1), :] += h
+    spec0 = jnp.zeros((3, LANES), _I)
+    hi32, lo32 = round_lanes_acc(
+        dacc, spec0, l_pad, 0, e_adjust=eadj_ref[0, 0:1, :] - _I(r0))
+    bits_out[0, 0:1, :] = hi32
+    bits_out[0, 1:2, :] = lo32
+    bits_out[0, 2:8, :] = jnp.zeros((6, LANES), jnp.uint32)
+
+
+def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref, corr_ref, eadj_ref,
+                     arel_out, cacc_out, bits_out, macc, dacc,
+                     *, nwa, nwz, k_pad, spill_tiles, fuse_round):
     w_a, w_z, ns, nz, r0, l_rel = _rung_params(nwa, nwz, k_pad)
     ik = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -472,6 +532,13 @@ def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref,
         macc[...] = jnp.zeros_like(macc)
         _renorm_rel3(arel_out)
 
+    if fuse_round:
+        @pl.when(ik == nk - 1)
+        def _():
+            _gemv_round_in_kernel(arel_out, cacc_out, corr_ref, eadj_ref,
+                                  bits_out, dacc, nwa=nwa, nwz=nwz,
+                                  l_rel=l_rel, r0=r0)
+
 
 @functools.partial(jax.jit, static_argnames=("nwa", "nwz", "beta_mode",
                                              "spill_tiles"))
@@ -488,11 +555,13 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
     no coverage: it is deposited exactly into the absolute accumulator in
     the XLA epilogue (with full NaN/Inf semantics via round_rows).
 
-    The kernel emits raw per-byte-lane relative limbs; the XLA epilogue
-    folds byte lanes, applies the excess-128 and sign-mask corrections,
-    shifts each row's relative limbs into the absolute DOT-format
-    accumulator, deposits beta*y, and rounds -- bit-identical to the
-    VPU/XLA paths.  Returns (hi, lo) uint32 (m,).
+    beta == 0: fold, corrections, canonicalize and correctly-rounded
+    conversion all run in the kernel's last grid step (int32 VPU).
+    beta != 0: the kernel emits raw per-byte-lane relative limbs and an
+    XLA epilogue folds byte lanes, applies the excess-128 and sign-mask
+    corrections, shifts each row's relative limbs into the absolute
+    DOT-format accumulator, deposits beta*y, and rounds.  Both paths are
+    bit-identical to the VPU/XLA kernels.  Returns (hi, lo) uint32 (m,).
     """
     m, k = a_hi.shape
     m_pad = -(-m // LANES) * LANES
@@ -516,9 +585,16 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
     m_blocks = m_pad // LANES
     k_blocks = k_pad // KT
 
-    arel, cacc = pl.pallas_call(
+    fuse_round = beta_mode == "zero"
+    corr_b = jnp.broadcast_to(corr[:, None], (l_rel, LANES))
+    # per-row msb-exponent adjust for the in-kernel rounding: rel bit 0 of
+    # row i has exponent ea_i + f + 2 - r0 (the kernel subtracts r0)
+    eadj = (ea_pad + f_anchor + _I(2)).reshape(m_blocks, 1, LANES)
+
+    arel, cacc, bits_k = pl.pallas_call(
         functools.partial(_gemv_mxu_kernel, nwa=nwa, nwz=nwz,
-                          k_pad=k_pad, spill_tiles=spill_tiles),
+                          k_pad=k_pad, spill_tiles=spill_tiles,
+                          fuse_round=fuse_round),
         grid=(m_blocks, k_blocks),
         in_specs=[
             pl.BlockSpec((LANES, KT), lambda i, j: (i, j),
@@ -529,21 +605,36 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((32, KT), lambda i, j: (_Z, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_rel, LANES), lambda i, j: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, _Z, _Z),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, l_rel, 4 * LANES), lambda i, j: (i, _Z, _Z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 32, LANES), lambda i, j: (i, _Z, _Z),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda i, j: (i, _Z, _Z),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((m_blocks, l_rel, 4 * LANES), jnp.int32),
             jax.ShapeDtypeStruct((m_blocks, 32, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((m_blocks, 8, LANES), jnp.uint32),
         ),
         scratch_shapes=[
             pltpu.VMEM((nwa * 32, 4 * LANES), jnp.int32),
+            pltpu.VMEM((l_rel + 2, LANES), jnp.int32),
         ],
-    )(a_hi, a_lo, e_sub, zdig)
+    )(a_hi, a_lo, e_sub, zdig, corr_b, eadj)
+
+    if fuse_round:
+        # The kernel already folded, corrected, canonicalized and rounded
+        # every row accumulator; just reassemble the bit pairs.
+        hi = bits_k[:, 0, :].reshape(m_pad)[:m]
+        lo = bits_k[:, 1, :].reshape(m_pad)[:m]
+        return hi, lo
 
     # ---- XLA epilogue (O(m * l_rel) work) ----
     from ...core.types import DOT_FORMAT
@@ -571,23 +662,11 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
     # would overflow int64.  5 zero limbs of padding restore
     # canonicalize_digits' int64-compression headroom invariant
     # |V| < 2^(20L - 64) (values reach the top of the unpadded window).
-    from ...core.rounding import (canonicalize_digits, negate_digits,
-                                  round_digits_to_f64_bits)
+    from ...core.rounding import canonicalize_digits, negate_digits
 
     l_pad = l_rel + 5
     rel2p = jnp.pad(rel2, ((0, 0), (0, 5)))
     digits, negative = canonicalize_digits(rel2p)
-
-    if beta_mode == "zero":
-        # round the relative digits directly (~15x less canonicalize work
-        # than going through the 216-limb absolute accumulator).
-        from ...core.types import AccFormat
-
-        bits = round_digits_to_f64_bits(
-            digits, negative, AccFormat(n_limbs=l_pad, offset_bits=0),
-            e_adjust=e_base - _I(r0))[:m]
-        return ((bits >> _U64(32)).astype(jnp.uint32),
-                (bits & _U64(0xFFFFFFFF)).astype(jnp.uint32))
 
     # beta != 0: shift the canonical digits into the absolute DOT-format
     # accumulator, deposit beta*y exactly there (no coverage constraint),
