@@ -259,3 +259,30 @@ def test_gemv_mxu_deep_subnormal_beta_on_chip():
     got = xb.exgemv("N", 1.0, a2, x, beta=2.5, y=y2, impl="auto")
     want = xb.exgemv("N", 1.0, a2, x, beta=2.5, y=y2, impl="xla")
     assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+def test_gemv_mxu_fused_round_edges():
+    """beta == 0 rounds entirely in-kernel (fold matmul at HIGHEST
+    precision, sign-mask split deposit, per-lane e_adjust rounding): bits
+    must match the XLA path across overflow->Inf, deep subnormals,
+    cancellation-to-zero, negatives, and the (3,3) rung."""
+    import exblas_tpu as xb
+    cases = [
+        ("narrow", xb.init_fpuniform_matrix(300, 400, 10, 0, seed=1),
+         xb.init_fpuniform(400, 10, 0, seed=2)),
+        ("rung33", xb.init_fpuniform_matrix(200, 300, 90, -45, seed=3),
+         xb.init_fpuniform(300, 90, -45, seed=4)),
+        ("tiny", xb.init_fpuniform_matrix(150, 200, 40, -1070, seed=5),
+         xb.init_fpuniform(200, 30, -15, seed=6)),
+        ("huge->inf", xb.init_fpuniform_matrix(150, 200, 1020, 990, seed=7),
+         xb.init_fpuniform(200, 1020, 990, seed=8)),
+    ]
+    for name, a, x in cases:
+        got = xb.exgemv("N", 1.0, a, x, impl="auto")
+        want = xb.exgemv("N", 1.0, a, x, impl="xla")
+        assert (got.view(np.uint64) == want.view(np.uint64)).all(), name
+    a, x = cases[0][1], cases[0][2]
+    a2 = np.concatenate([a, -a], axis=1)
+    x2 = np.concatenate([x, x])
+    got = xb.exgemv("N", 1.0, a2, x2, impl="auto")
+    assert (got == 0).all() and not np.signbit(got).any()
