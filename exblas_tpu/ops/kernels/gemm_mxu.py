@@ -384,12 +384,14 @@ def _vmem_estimate(sa: int, sb: int, l_rel: int, bn: int, kt: int) -> int:
 def _pick_kt_bn(sa: int, sb: int, l_rel: int) -> tuple[int, int]:
     """(k-tile, out-block width) for a rung.  Bigger k-tiles amortize the
     per-pair cls adds (~1 VPU add per C element per pair per tile --
-    measured 49.9 -> 43.8 ms at n=4096 going 256 -> 1024); large rungs
-    shrink the tile to stay within ~12 MB of VMEM (scratch + pipelined
-    blocks).  bn=256 measured slightly slower than 128 at (8,8), so the
-    width stays 128."""
-    for kt in (1024, 512, 256):
-        if _vmem_estimate(sa, sb, l_rel, 128, kt) <= 12 * 2**20:
+    measured 49.9 -> 43.8 ms at n=4096 going 256 -> 1024, and a further
+    48 -> 45.5 ms at kt=2048; the 2048-element spill run is unchanged:
+    period = max(1, 2048 // kt)); large rungs shrink the tile to stay
+    within ~14 MB of the ~16 MB/core VMEM (scratch + pipelined blocks).
+    bn=256 measured slightly slower than 128 at (8,8), so the width
+    stays 128."""
+    for kt in (2048, 1024, 512, 256):
+        if _vmem_estimate(sa, sb, l_rel, 128, kt) <= 14 * 2**20:
             return kt, 128
     return 128, 128
 
