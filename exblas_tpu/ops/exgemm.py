@@ -339,8 +339,12 @@ def exgemm_bits(transa: str, transb: str, alpha: float, a, b,
         # Fully jittable auto path: on-device coverage analysis selects a
         # slice-count rung or the exact VPU fallback via lax.switch; no
         # host round trips (all branches produce identical bits).
-        return _gemm_bits_auto(ab.hi, ab.lo, bb.hi, bb.lo, ah, al, bh, bl,
-                               cb.hi, cb.lo, beta_mode)
+        # k above the MXU cap (top-limb growth bound, gemm_mxu._renorm_rel)
+        # runs the exact VPU kernel instead.
+        if ab.hi.shape[1] <= (1 << 22) - 2048:
+            return _gemm_bits_auto(ab.hi, ab.lo, bb.hi, bb.lo, ah, al,
+                                   bh, bl, cb.hi, cb.lo, beta_mode)
+        impl = "pallas"
 
     return _gemm_bits_jit(ab.hi, ab.lo, bb.hi, bb.lo, ah, al, bh, bl,
                           cb.hi, cb.lo, impl, beta_mode)

@@ -241,11 +241,24 @@ def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
 
 
 def _renorm_rel(acc):
+    """Value-preserving carry pass on the (l_rel*128, bn) relative
+    accumulator: carries move up one limb row; the TOP limb row is kept
+    WHOLE.  Stripping the top row's carry (the pre-round-2b behavior)
+    silently added 2^(20*l_rel) to any state whose top limb was negative
+    -- reachable when the class-0 (carry-digit x carry-digit) sums are
+    negative and rel0 % 20 == 0 puts their high part in the top limb --
+    which flipped the rounded sign (fuzz seed 20260820 case 1).  Same
+    invariant as the reference's Normalize, which deliberately keeps the
+    final carry in the top limb (superaccumulator.cpp:138-162), and as
+    gemv_mxu._renorm_rel3.  Top-limb growth stays in int32: <= ~2^20 per
+    spill from class-0 deposits + <= 2^11 per pass of incoming carries,
+    bounded by the k_pad <= 2^22 cap in gemm_bits_mxu."""
     a = acc[...]
     c = a >> _I(LIMB_BITS)
     low = a - (c << _I(LIMB_BITS))
+    row = jax.lax.broadcasted_iota(_I, a.shape, 0)
+    low = jnp.where(row >= _I(a.shape[0] - LANES), a, low)
     c_up = pltpu.roll(c, shift=jnp.int32(LANES), axis=0)
-    row = jax.lax.broadcasted_iota(_I, c_up.shape, 0)
     c_up = jnp.where(row < LANES, _I(0), c_up)
     acc[...] = low + c_up
 
@@ -414,6 +427,9 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
     kt0, bn = _pick_kt_bn(sa, sb,
                           mxu_l_rel(sa, sb, beta_mode, -(-k // KT) * KT))
     k_pad = -(-k // kt0) * kt0
+    # top-limb int32 growth bound for the value-preserving renorm
+    # (see _renorm_rel): ~2^20 per 2048-element spill run
+    assert k_pad <= 1 << 22, "MXU GEMM k cap; route larger k to the VPU path"
     m_pad = -(-m // LANES) * LANES
     n_pad = -(-n // bn) * bn
     a_hi = jnp.pad(a_hi, ((0, m_pad - m), (0, k_pad - k)))
