@@ -52,7 +52,14 @@ MAX_ROWS_X_RENORM = 4064
 
 
 def _renorm8(acc_ref):
-    """Carry pass on the (L*8, 128) phase layout: carries move 8 rows up."""
+    """Carry pass on the (L*8, 128) phase layout: carries move 8 rows up.
+
+    Stripping the top limb row's carries is safe HERE (unlike the MXU
+    GEMM's tightly-sized relative accumulator, see gemm_mxu._renorm_rel):
+    this accumulator's top limbs are structural headroom -- deposits land
+    several limbs below, and renorm carries decay by 2^20 per limb level,
+    so the top rows are always zero.
+    """
     a = acc_ref[...]
     c = a >> LIMB_BITS
     low = a - (c << LIMB_BITS)

@@ -191,7 +191,8 @@ def _gen_matrix(dist, m, k, rng):
     return gen_vector(dist, m * k, rng).reshape(m, k)
 
 
-def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
+def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000,
+             big_dims: bool = False):
     """One fuzz case; raises AssertionError with full reproduction info."""
     import exblas_tpu as xb
 
@@ -231,6 +232,9 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
     elif routine == "exgemv":
         m = int(rng.randint(1, 65))
         k = int(rng.randint(1, 97))
+        if big_dims:   # extra draws only in big mode: old seeds replay
+            m *= int(rng.randint(2, 9))
+            k *= int(rng.randint(2, 17))
         trans = ["N", "T"][int(rng.randint(2))]
         alpha = _ALPHAS[int(rng.randint(len(_ALPHAS)))]
         beta = _BETAS[int(rng.randint(len(_BETAS)))]
@@ -265,6 +269,10 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000):
         m = int(rng.randint(1, 33))
         k = int(rng.randint(1, 49))
         nn = int(rng.randint(1, 33))
+        if big_dims:
+            m *= int(rng.randint(2, 9))
+            k *= int(rng.randint(2, 33))
+            nn *= int(rng.randint(2, 9))
         alpha = _ALPHAS[int(rng.randint(len(_ALPHAS)))]
         beta = _BETAS[int(rng.randint(len(_BETAS)))]
         a = _gen_matrix(dist, m, k, rng)
@@ -336,6 +344,8 @@ def main():
                     help="xla (default on CPU) / pallas (TPU)")
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--max-n", type=int, default=5000)
+    ap.add_argument("--big-dims", action="store_true",
+                    help="scale GEMV/GEMM dims up to ~512x1536 / 256x1536x256")
     args = ap.parse_args()
 
     impl = args.impl
@@ -347,13 +357,15 @@ def main():
     failures = 0
     for idx in range(args.start, args.start + args.cases):
         try:
-            label = run_case(idx, args.seed, impl, args.max_n)
+            label = run_case(idx, args.seed, impl, args.max_n,
+                             big_dims=args.big_dims)
             print(f"PASS {label}", flush=True)
         except AssertionError as e:
             failures += 1
             print(f"FAIL {e}", flush=True)
     print(f"\n{args.cases} cases, {failures} failures "
-          f"(seed {args.seed}, impl {impl})")
+          f"(seed {args.seed}, impl {impl}"
+          + (", big-dims" if args.big_dims else "") + ")")
     return 1 if failures else 0
 
 
