@@ -286,3 +286,30 @@ def test_gemv_mxu_fused_round_edges():
     x2 = np.concatenate([x, x])
     got = xb.exgemv("N", 1.0, a2, x2, impl="auto")
     assert (got == 0).all() and not np.signbit(got).any()
+
+
+def test_sharded_sum_dot_gemm_on_chip():
+    """Sharded paths on a real 1-device mesh (the Pallas local kernels +
+    int32-limb psum wire format run on actual hardware, not just the
+    virtual-CPU meshes): bits must equal the unsharded results."""
+    import math
+    import exblas_tpu as xb
+    from exblas_tpu.parallel import (exsum_sharded, exdot_sharded,
+                                     exgemm_sharded, make_mesh)
+
+    mesh = make_mesh(1)
+    x = xb.init_ill_cond(30000, 1e25, seed=101)
+    got = np.asarray(exsum_sharded(x, mesh=mesh)).reshape(1).view(np.float64)[0]
+    assert np.float64(got).tobytes() == np.float64(math.fsum(x)).tobytes()
+
+    a = xb.init_fpuniform(20000, 40, -20, seed=102)
+    b = xb.init_fpuniform(20000, 40, -20, seed=103)
+    gd = np.asarray(exdot_sharded(a, b, mesh=mesh)).reshape(1).view(np.float64)[0]
+    want = xb.exdot(a, b, impl="pallas")
+    assert np.float64(gd).tobytes() == np.float64(want).tobytes()
+
+    am = xb.init_fpuniform_matrix(96, 200, 15, 0, seed=104)
+    bm = xb.init_fpuniform_matrix(200, 64, 15, 0, seed=105)
+    gg = np.asarray(exgemm_sharded(am, bm, mesh=mesh)).view(np.float64)
+    wg = xb.exgemm("N", "N", 1.0, am, bm, beta=0.0, impl="mxu")
+    assert (gg.view(np.uint64) == wg.view(np.uint64)).all()
