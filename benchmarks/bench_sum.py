@@ -24,6 +24,7 @@ def main():
     import jax.numpy as jnp
     import exblas_tpu as xb
     from exblas_tpu.core.ieee import split_f64
+    from exblas_tpu.ops.exsum import _exsum_bits_mxu_auto
     from exblas_tpu.ops.kernels.sum_kernel import exsum_bits_pallas
     from exblas_tpu.utils.bench_utils import amortized_seconds
 
@@ -32,27 +33,38 @@ def main():
         "narrow": xb.init_fpuniform(n, 2, 0, seed=7),
         "wide": xb.init_fpuniform(n, 50, -25, seed=8),
         "illcond": xb.init_ill_cond(n, 1e30, seed=9),
+        "lognormal": xb.init_lognormal(n, 1.0, 2.0, seed=10),
     }
 
-    def mk(R):
-        @jax.jit
-        def f(hi, lo):
-            def body(state, it):
-                r = exsum_bits_pallas(hi, lo ^ state.astype(jnp.uint32))
-                return state ^ r, None
-            s, _ = jax.lax.scan(body, jnp.uint64(0),
-                                jnp.arange(R, dtype=jnp.uint32))
-            return s
-        return f
+    def mk_impl(fn):
+        def mk(R):
+            @jax.jit
+            def f(hi, lo):
+                def body(state, it):
+                    r = fn(hi, lo ^ state.astype(jnp.uint32))
+                    return state ^ r, None
+                s, _ = jax.lax.scan(body, jnp.uint64(0),
+                                    jnp.arange(R, dtype=jnp.uint32))
+                return s
+            return f
+        return mk
 
+    impls = {
+        "auto(mxu)": _exsum_bits_mxu_auto,   # sampled-anchor MXU ladder
+        "vpu": exsum_bits_pallas,            # windowed-deposit VPU kernel
+    }
     out = {}
     for name, x in dists.items():
         b = split_f64(x)
         hi = jax.device_put(b.hi)
         lo = jax.device_put(b.lo)
-        t = amortized_seconds(mk, (hi, lo), R=129, reps=4)
-        out[name] = round(8.0 * n / t / 1e9, 1)
-        print(json.dumps({"dist": name, "GBps": out[name]}), flush=True)
+        for iname, fn in impls.items():
+            t = amortized_seconds(mk_impl(fn), (hi, lo), R=129, reps=4)
+            gbps = round(8.0 * n / t / 1e9, 1)
+            if iname == "auto(mxu)":
+                out[name] = gbps
+            print(json.dumps({"dist": name, "impl": iname, "GBps": gbps}),
+                  flush=True)
 
     # control: non-reproducible emulated-f64 jnp.sum
     xd = jax.device_put(jnp.asarray(dists["narrow"]))

@@ -28,16 +28,20 @@ _I64 = jnp.int64
 def renorm_pass(limbs):
     """One vectorized carry pass along the last axis (exact, value-preserving).
 
-    After the pass every limb except possibly the top few is in [0, 2^20);
-    carries move up one limb.  The top limb's outgoing carry is asserted to be
-    unrepresentable by format headroom (the formats reserve >= 64 spare bits),
-    so it is dropped-as-zero.
+    Carries move up one limb; the TOP limb is kept whole (its carry stays
+    in place, as in the reference's Normalize, superaccumulator.cpp:138-162).
+    Although deposits never reach the headroom limbs, a NEGATIVE
+    accumulator value is represented as digits in [0, 2^20) plus a
+    borrowed -1 carry that climbs one limb per pass -- once it reaches the
+    top limb, stripping it would corrupt the value by +2^(20*L).  Keeping
+    the top limb whole is value-preserving for every carry state.
     """
     c = limbs >> LIMB_BITS  # arithmetic shift: floor division by 2^20
     low = limbs - (c << LIMB_BITS)
+    idx = jnp.arange(limbs.shape[-1])
+    low = jnp.where(idx == limbs.shape[-1] - 1, limbs, low)  # keep top whole
     c_up = jnp.roll(c, 1, axis=-1)
     # zero the wrapped-around top carry entering limb 0
-    idx = jnp.arange(limbs.shape[-1])
     c_up = jnp.where(idx == 0, jnp.zeros_like(c_up), c_up)
     return low + c_up
 

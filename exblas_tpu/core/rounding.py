@@ -39,20 +39,6 @@ PINF_BITS = jnp.uint64(0x7FF0000000000000)
 NINF_BITS = jnp.uint64(0xFFF0000000000000)
 
 
-def _compress_to_i32(limbs):
-    """Vectorized carry passes: any-width limbs -> int32 range (exact)."""
-    x = limbs.astype(_I64)
-    idx = jnp.arange(x.shape[-1])
-    # three passes compress any |limb| < 2^62 into int32 range
-    for _ in range(3):
-        c = x >> LIMB_BITS
-        low = x - (c << LIMB_BITS)
-        c_up = jnp.roll(c, 1, axis=-1)
-        c_up = jnp.where(idx == 0, jnp.zeros_like(c_up), c_up)
-        x = low + c_up
-    return x.astype(_I32)
-
-
 def canonicalize_digits(limbs):
     """Propagate carries: signed limbs (..., L) -> (digits, negative).
 
@@ -61,23 +47,35 @@ def canonicalize_digits(limbs):
     negative: bool (...,) -- sign of the exact value.
 
     int32 limbs are scanned directly (running carries stay < 2^12); wider
-    limbs are first compressed by vectorized carry passes, which requires
-    the format's headroom invariant (|V| < 2^(total_bits - 64)).
+    limbs are scanned in int64.  (An earlier version compressed int64
+    limbs to int32 with vectorized carry passes whose top-limb carry was
+    dropped -- that corrupts "parked" representations of negative values,
+    where the digits are in [0, 2^20) and a borrowed carry sits in the
+    top limb; the direct int64 scan is value-exact for every
+    representation with |V| < 2^(20L).)
     """
     if limbs.dtype == jnp.int32:
-        x32 = limbs
+        x = jnp.moveaxis(limbs, -1, 0)   # (L, ...)
+
+        def step(carry, limb):
+            d = limb + carry
+            digit = d & _I32(LIMB_MASK)
+            return (d - digit) >> _I32(LIMB_BITS), digit
+
+        carry_out, digits = jax.lax.scan(
+            step, jnp.zeros(x.shape[1:], _I32), x, unroll=8
+        )
     else:
-        x32 = _compress_to_i32(limbs)  # limbs now < 2^20 + small slack
-    x = jnp.moveaxis(x32, -1, 0)   # (L, ...)
+        x = jnp.moveaxis(limbs.astype(_I64), -1, 0)
 
-    def step(carry, limb):
-        d = limb + carry
-        digit = d & _I32(LIMB_MASK)
-        return (d - digit) >> _I32(LIMB_BITS), digit
+        def step(carry, limb):
+            d = limb + carry
+            digit = d & _I64(LIMB_MASK)
+            return (d - digit) >> _I64(LIMB_BITS), digit.astype(_I32)
 
-    carry_out, digits = jax.lax.scan(
-        step, jnp.zeros(x.shape[1:], _I32), x, unroll=8
-    )
+        carry_out, digits = jax.lax.scan(
+            step, jnp.zeros(x.shape[1:], _I64), x, unroll=8
+        )
     negative = carry_out < 0
     return jnp.moveaxis(digits, 0, -1), negative
 

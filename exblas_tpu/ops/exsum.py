@@ -40,7 +40,58 @@ def _validate_fpe(fpe: int):
 
 
 def _default_impl() -> str:
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "auto" if jax.default_backend() == "tpu" else "xla"
+
+
+# Below this size the VPU kernel's one-pass design wins (the MXU path pays
+# a separate 4-byte/element analysis pass + kernel launch).
+_SUM_MXU_MIN = 1 << 17
+
+
+@jax.jit
+def _exsum_bits_mxu_auto(hi, lo):
+    """One jit, two tiers, identical bits by construction:
+
+    * ROUTE: one ~1/8 sample of the hi words (~0.5 byte/element) gives an
+      anchor estimate and a sampled spread.  A sampled spread can only
+      UNDERestimate the true one, so "sampled spread > 96" soundly proves
+      the MXU window can't cover the data: go straight to the VPU kernel
+      with no wasted MXU pass.
+    * FAST: 96-bit MXU byte-plane kernel at the sampled anchor with
+      per-element coverage checking in-kernel -- no analysis pass on the
+      hot path.
+    * SLOW (kernel flagged an uncovered element or a NaN/Inf): one exact
+      max-exponent pass, retry the same kernel at the exact anchor, and
+      only if elements still don't fit the 96-bit window (or specials
+      are present) run the exact VPU kernel.
+    """
+    from .kernels.sum_kernel import exsum_bits_pallas
+    from .kernels.sum_mxu import (exact_anchor, sample_anchor,
+                                  sum_bits_mxu, sum_pad_rows)
+
+    n = hi.shape[0]
+    r_pad = sum_pad_rows(n)
+    pad = r_pad * 128 - n
+    e_est, spread_est = sample_anchor(hi)
+
+    def fast_tier(_):
+        # pad+reshape INSIDE the branch: tile-native (free) when fused
+        # into the kernel input here; captured by the cond from outside
+        # it materializes a 2x64 MB copy (~0.2 ms measured at n=2^24)
+        hi2 = jnp.pad(hi, (0, pad)).reshape(r_pad, 128)
+        lo2 = jnp.pad(lo, (0, pad)).reshape(r_pad, 128)
+        bits_fast, bad = sum_bits_mxu(hi2, lo2, e_est, nwa=3)
+
+        def slow(_):
+            bits2, bad2 = sum_bits_mxu(hi2, lo2, exact_anchor(hi), nwa=3)
+            return jax.lax.cond(
+                bad2, lambda _: exsum_bits_pallas(hi, lo),
+                lambda _: bits2, operand=None)
+
+        return jax.lax.cond(bad, slow, lambda _: bits_fast, operand=None)
+
+    return jax.lax.cond(spread_est > 96, lambda _: exsum_bits_pallas(hi, lo),
+                        fast_tier, operand=None)
 
 
 # fpe/early_exit -> kernel tiling variant (rows per grid step).  Different
@@ -70,6 +121,14 @@ def _exsum_acc_jit(hi, lo, impl: str, rows: int) -> Superacc:
 def _exsum_bits_jit(hi, lo, impl: str, rows: int):
     # One fused jit for accumulate + round: eager epilogues are catastrophic
     # on remote TPUs (each tiny op pays a full host round trip).
+    from .kernels.sum_mxu import MAX_N_MXU
+
+    if hi.shape[0] <= MAX_N_MXU and (
+            impl == "mxu"
+            or (impl == "auto" and hi.shape[0] >= _SUM_MXU_MIN)):
+        return _exsum_bits_mxu_auto(hi, lo)
+    if impl in ("auto", "mxu"):
+        impl = "pallas"
     if impl == "pallas":
         # fully fused kernel: the correctly-rounded conversion runs
         # in-kernel too (the XLA rounding epilogue's tiny-tensor ops
@@ -88,6 +147,8 @@ def exsum_acc(x, inca: int = 1, offset: int = 0, fpe: int = 2,
     if offset or inca != 1:
         bits = F64Bits(hi=bits.hi[offset::inca], lo=bits.lo[offset::inca])
     impl = impl or _default_impl()
+    if impl in ("auto", "mxu"):
+        impl = "pallas"  # the Superacc path is the VPU/XLA kernels' output
     return _exsum_acc_jit(bits.hi, bits.lo, impl,
                           _variant_rows(fpe, early_exit))
 

@@ -39,17 +39,20 @@ RENORM_EVERY = 2  # dot-style deposits: 7 planes/limb per block
 def _renorm8(acc_ref):
     """Carry pass on the (L*8, 128) phase layout: carries move 8 rows up.
 
-    Stripping the top limb row's carries is safe HERE (unlike the MXU
-    GEMM's tightly-sized relative accumulator, see gemm_mxu._renorm_rel):
-    this accumulator's top limbs are structural headroom -- deposits land
-    several limbs below, and renorm carries decay by 2^20 per limb level,
-    so the top rows are always zero.
+    The TOP limb rows are kept whole (their carries stay in place, as in
+    the reference's Normalize, superaccumulator.cpp:138-162, and the MXU
+    GEMM's _renorm_rel3 fix): a lane with a negative running total
+    carries a persistent -1 that climbs one limb per renorm pass; after
+    >= L passes it reaches the top row, where stripping it would corrupt
+    the value by +2^(20*L).  Keeping the top row whole is
+    value-preserving for any carry state.
     """
     a = acc_ref[...]
     c = a >> LIMB_BITS
     low = a - (c << LIMB_BITS)
+    row = jax.lax.broadcasted_iota(_I, a.shape, 0)
+    low = jnp.where(row >= _I(a.shape[0] - 8), a, low)  # keep top limb whole
     c_up = pltpu.roll(c, shift=jnp.int32(8), axis=0)
-    row = jax.lax.broadcasted_iota(_I, c_up.shape, 0)
     c_up = jnp.where(row < 8, _I(0), c_up)
     acc_ref[...] = low + c_up
 

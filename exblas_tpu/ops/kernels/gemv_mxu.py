@@ -334,14 +334,18 @@ def make_excess_corr_limbs(zsum, nwa: int, nwz: int, l_rel: int):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _slice_byte_words(a_hi, a_lo, erow, nwa: int):
-    """(128, KT) bit-pair block -> (tc, negm) for the byte matmuls.
+def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False):
+    """(128, KT) bit-pair block -> (tc, negm[, bad]) for the byte matmuls.
 
     tc: list of nwa uint32 words of the two's-complement anchored value,
     each XOR'd with 0x80808080 so that a byte-wise reinterpretation
     (pltpu.bitcast to int8) yields the excess-128 planes b - 128 directly
     -- no per-plane extract ladder.
     negm: int8 0/1 negative mask (the 2^W sign correction plane).
+    check: also return a per-element "not covered by the anchor" mask
+    (anchor too low/high, hidden tiny subnormal, or NaN/Inf) -- lets the
+    caller use an estimated anchor and fall back on the flag instead of
+    paying an exact analysis pass (the sum_mxu fast path).
     """
     w_a = 32 * nwa
     his = jax.lax.bitcast_convert_type(a_hi, _I)
@@ -353,6 +357,15 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int):
                     jax.lax.bitcast_convert_type(a_lo, _I))
     e_lsb = jnp.maximum(expf, _I(1)) - _I(1075)
     sh = e_lsb - (erow + _I(1) - _I(w_a))     # [0, W-53] for covered rows
+    bad = None
+    if check:
+        # nonzero value whose bits don't all fit in [anchor+1-W, anchor]
+        # (for hi-invisible subnormals e_lsb here is the conservative
+        # -1074 bound, so genuinely tiny values flag themselves), or a
+        # special.  Flagged results are discarded by the caller.
+        nz = (mhi | mlo) != 0
+        oob = jnp.logical_or(sh < 0, sh > _I(w_a - 53))
+        bad = jnp.logical_or(jnp.logical_and(nz, oob), special)
     if nwa == 3:
         big = sh >= _I(32)
         sh = sh - jnp.where(big, _I(32), _I(0))
@@ -388,6 +401,8 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int):
             zall = jnp.logical_and(zall, w == _U(0))
         tc.append(t ^ _U(0x80808080))        # excess-128, all bytes at once
     negm = (m & _I(1)).astype(jnp.int8)
+    if check:
+        return tc, negm, bad
     return tc, negm
 
 

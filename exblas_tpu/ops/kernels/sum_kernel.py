@@ -54,17 +54,22 @@ MAX_ROWS_X_RENORM = 4064
 def _renorm8(acc_ref):
     """Carry pass on the (L*8, 128) phase layout: carries move 8 rows up.
 
-    Stripping the top limb row's carries is safe HERE (unlike the MXU
-    GEMM's tightly-sized relative accumulator, see gemm_mxu._renorm_rel):
-    this accumulator's top limbs are structural headroom -- deposits land
-    several limbs below, and renorm carries decay by 2^20 per limb level,
-    so the top rows are always zero.
+    The TOP limb rows are kept whole (their carries stay in place, as in
+    the reference's Normalize, superaccumulator.cpp:138-162, and the MXU
+    GEMM's _renorm_rel3 fix): although deposits never reach the headroom
+    limbs, a lane whose RUNNING TOTAL is negative carries a persistent -1
+    that climbs one limb per renorm pass -- after >= L renorm passes
+    (large n with a small rows variant) it reaches the top row, and
+    stripping it there would corrupt the value by +2^(20*L).  Keeping the
+    top row whole is value-preserving for any carry state; the top limb
+    only ever holds these +-small climbing carries, so int32 is safe.
     """
     a = acc_ref[...]
     c = a >> LIMB_BITS
     low = a - (c << LIMB_BITS)
+    row = jax.lax.broadcasted_iota(_I, a.shape, 0)
+    low = jnp.where(row >= _I(a.shape[0] - 8), a, low)  # keep top limb whole
     c_up = pltpu.roll(c, shift=jnp.int32(8), axis=0)
-    row = jax.lax.broadcasted_iota(_I, c_up.shape, 0)
     c_up = jnp.where(row < 8, _I(0), c_up)
     acc_ref[...] = low + c_up
 

@@ -63,3 +63,62 @@ def test_negative_mirror():
 def test_signed_zero_results():
     assert bits_of(xb.exsum(np.array([1.5, -1.5]), impl="xla")) == 0
     assert bits_of(xb.exsum(np.array([-0.0, -0.0]), impl="xla")) == 0
+
+
+# ---------------------------------------------------------------------------
+# Parked-negative representations (regression: the borrowed -1 of a negative
+# accumulator climbs one limb per carry pass; early code dropped it at the
+# top limb, corrupting the value by +2^(20L) -- caught at n=2^21 on TPU)
+# ---------------------------------------------------------------------------
+
+def _exact_value(digits, negative, L):
+    v = sum(int(d) << (20 * i) for i, d in enumerate(digits))
+    return v - (1 << (20 * L)) if negative else v
+
+
+def test_canonicalize_int64_parked_negative():
+    from exblas_tpu.core.rounding import canonicalize_digits
+    import jax.numpy as jnp
+
+    L = 216
+    rng = np.random.default_rng(1)
+    row = np.zeros(L, np.int64)
+    row[:100] = rng.integers(0, 1 << 20, 100)
+    row[100:L - 1] = 8 * ((1 << 20) - 1)  # 8 merged phases of 0xFFFFF
+    row[L - 1] = -8                       # 8 parked borrowed carries
+    want = sum(int(v) << (20 * i) for i, v in enumerate(row))
+    digits, neg = canonicalize_digits(jnp.asarray(row[None, :]))
+    got = _exact_value(np.asarray(digits)[0], bool(np.asarray(neg)[0]), L)
+    assert got == want and want < 0
+
+
+def test_renorm_pass_negative_carry_climbs_to_top():
+    from exblas_tpu.core.accumulator import renorm_pass
+    from exblas_tpu.core.rounding import canonicalize_digits
+    import jax.numpy as jnp
+
+    L = 112
+    limbs = np.zeros(L, np.int64)
+    limbs[3] = -5          # value -5 * 2^60
+    want = -5 << 60
+    x = jnp.asarray(limbs)
+    for _ in range(L + 20):  # far more passes than limbs: carry must park
+        x = renorm_pass(x)
+    digits, neg = canonicalize_digits(x.astype(jnp.int32)[None, :])
+    got = _exact_value(np.asarray(digits)[0], bool(np.asarray(neg)[0]), L)
+    assert got == want
+
+
+def test_to_int32_limbs_parked_negative():
+    from exblas_tpu.core.accumulator import to_int32_limbs
+    from exblas_tpu.core.rounding import canonicalize_digits
+    import jax.numpy as jnp
+
+    L = 112
+    row = np.zeros(L, np.int64)
+    row[: L - 1] = (1 << 20) - 1   # canonical digits of -1 (two's compl.)
+    row[L - 1] = -1                # ... with the borrow parked at the top
+    x32 = to_int32_limbs(jnp.asarray(row))
+    digits, neg = canonicalize_digits(x32[None, :])
+    got = _exact_value(np.asarray(digits)[0], bool(np.asarray(neg)[0]), L)
+    assert got == -1

@@ -1,0 +1,128 @@
+"""MXU byte-plane ExSUM (sum_mxu) vs exact oracles, in interpret mode.
+
+Covers the full three-tier auto dispatcher (ops/exsum.py):
+sampled-spread routing, sampled-anchor fast path with in-kernel coverage
+checking, exact-anchor retry, and VPU fallback -- every tier must be
+bit-identical to math.fsum / the XLA path.  (Hardware equivalents live in
+test_tpu_kernels.py.)
+
+Reference counterpart: the reference asserts all ExSUM variants agree
+bitwise (tests/test.exsum.cpu.cpp:107-146); here the MXU/VPU/XLA paths
+play those roles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from exblas_tpu.core.ieee import split_f64
+from exblas_tpu.ops.exsum import _exsum_bits_mxu_auto
+
+
+def _auto_bits(x):
+    b = split_f64(np.asarray(x, np.float64))
+    with pltpu.force_tpu_interpret_mode():
+        return np.uint64(_exsum_bits_mxu_auto(b.hi, b.lo))
+
+
+def _check(x, want=None):
+    got = _auto_bits(x)
+    if want is None:
+        want = math.fsum(np.asarray(x, np.float64))
+    want = np.float64(want).view(np.uint64)
+    assert got == want, f"got {got:#x} want {want:#x}"
+
+
+def test_fast_path_uniform():
+    rng = np.random.default_rng(11)
+    _check(rng.uniform(-1, 1, 3000))
+
+
+def test_fast_path_zeros_mixed():
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1, 1, 2000)
+    x[::5] = 0.0
+    _check(x)
+
+
+def test_fast_path_subnormals():
+    rng = np.random.default_rng(13)
+    _check(rng.uniform(-1, 1, 2500) * 2.0**-1062)
+
+
+def test_fast_path_outlier_within_slack():
+    rng = np.random.default_rng(14)
+    x = rng.uniform(0.5, 1, 30000)
+    x[999] = 40.0  # ~6 binades above the crowd: covered by anchor slack
+    _check(x)
+
+
+def test_retry_exact_anchor():
+    rng = np.random.default_rng(15)
+    x = rng.uniform(0.5, 1, 30000)
+    x[77] = 2.0**40  # above slack, but true spread fits the 96-bit window
+    _check(x)
+
+
+def test_vpu_fallback_wide_spread():
+    import exblas_tpu as xb
+
+    _check(xb.init_fpuniform(2000, 200, -100, seed=16))
+
+
+def test_vpu_fallback_outlier_huge():
+    rng = np.random.default_rng(17)
+    x = rng.uniform(-1, 1, 30000)
+    x[12345] = 1e300  # unsampled unique max -> in-kernel flag -> fallback
+    _check(x)
+
+
+def test_vpu_fallback_hidden_tiny_subnormal():
+    rng = np.random.default_rng(18)
+    x = rng.uniform(-1, 1, 3000)
+    x[7] = 5e-324  # hi-invisible: only the in-kernel check can see it
+    _check(x)
+
+
+@pytest.mark.parametrize("val,want", [(np.inf, np.inf), (-np.inf, -np.inf),
+                                      (np.nan, np.nan)])
+def test_vpu_fallback_specials(val, want):
+    rng = np.random.default_rng(19)
+    x = rng.uniform(-1, 1, 1500)
+    x[5] = val
+    got = _auto_bits(x).view(np.float64)
+    if np.isnan(want):
+        assert np.isnan(got)
+    else:
+        assert got == want
+
+
+def test_overflow_saturates_to_inf():
+    _check(np.full(1500, 1.7e308), want=np.inf)
+    _check(np.full(1500, -1.7e308), want=-np.inf)
+
+
+def test_exact_cancellation_positive_zero():
+    rng = np.random.default_rng(20)
+    c = rng.uniform(-1, 1, 1000)
+    _check(np.concatenate([c, -c]), want=0.0)
+
+
+def test_all_negative():
+    rng = np.random.default_rng(21)
+    _check(-np.abs(rng.uniform(0.1, 1, 2200)))
+
+
+def test_near_max_cancels():
+    _check(np.array([8.9e307, -8.9e307, 1.0, -1.0] * 300 + [3.5]), want=3.5)
+
+
+def test_padding_edge_sizes():
+    rng = np.random.default_rng(22)
+    for n in (1, 127, 128, 129, 65536, 65537):
+        _check(rng.uniform(-1, 1, n))

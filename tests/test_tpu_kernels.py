@@ -313,3 +313,67 @@ def test_sharded_sum_dot_gemm_on_chip():
     gg = np.asarray(exgemm_sharded(am, bm, mesh=mesh)).view(np.float64)
     wg = xb.exgemm("N", "N", 1.0, am, bm, beta=0.0, impl="mxu")
     assert (gg.view(np.uint64) == wg.view(np.uint64)).all()
+
+
+def test_exsum_mxu_auto_matches_pallas():
+    """The MXU byte-plane ExSUM auto ladder (sampled-spread routing,
+    sampled-anchor fast path with in-kernel coverage check, exact-anchor
+    retry, VPU fallback) on real hardware: bits must equal the VPU kernel
+    on every tier."""
+    import math
+    import exblas_tpu as xb
+
+    rng = np.random.default_rng(23)
+    n = 1 << 21
+    cases = {
+        "narrow": xb.init_fpuniform(n, 2, 0, seed=31),
+        "lognormal": xb.init_lognormal(n, 1.0, 2.0, seed=32),
+        "wide->vpu": xb.init_fpuniform(n, 50, -25, seed=33),
+        "illcond->vpu": xb.init_ill_cond(n, 1e30, seed=34),
+    }
+    zx = xb.init_fpuniform(n, 2, 0, seed=35)
+    zx[::5] = 0.0
+    cases["zeros-mixed"] = zx
+    out = rng.uniform(0.5, 1, n)
+    out[12345] = 2.0**40     # sampled-anchor miss -> exact-anchor retry
+    cases["retry"] = out
+    hug = rng.uniform(-1, 1, n)
+    hug[54321] = 1e300       # spread > window -> in-kernel flag -> VPU
+    cases["flag->vpu"] = hug
+    for name, x in cases.items():
+        got = xb.exsum(x, impl="auto")
+        want = xb.exsum(x, impl="pallas")
+        assert np.float64(got).tobytes() == np.float64(want).tobytes(), (
+            name, got, want)
+    # absolute oracle on one case
+    w = math.fsum(cases["narrow"])
+    g = xb.exsum(cases["narrow"], impl="mxu")
+    assert np.float64(g).tobytes() == np.float64(w).tobytes()
+
+
+def test_negative_carry_climb_large_n_regression():
+    """Regression (found by cross-impl testing at n=2^21): a negative
+    lane total's borrowed -1 climbs one limb per renorm pass; with enough
+    grid steps it reaches the top limb, where the old renorm/compress
+    passes stripped it (+2^(20L) corruption -> inf).  Covers the kernel
+    _renorm8 fix, core renorm_pass, and the int64 canonicalize scan."""
+    import math
+    import exblas_tpu as xb
+    from exblas_tpu.core.ieee import split_f64
+    from exblas_tpu.ops.kernels.sum_kernel import exsum_bits_pallas
+
+    x = xb.init_ill_cond(1 << 21, 1e30, seed=34)
+    b = split_f64(x)
+    want = np.float64(math.fsum(x)).view(np.uint64)
+    for rows in (32, 96, 512):
+        got = np.uint64(exsum_bits_pallas(b.hi, b.lo, rows=rows))
+        assert got == want, (rows, got.view(np.float64))
+
+    rng = np.random.default_rng(40)
+    m, k = 128, 1 << 14
+    a = rng.uniform(-2, 1, (m, k))   # negative-leaning row sums
+    z = rng.uniform(0.5, 1, k)
+    wg = xb.exgemv("N", 1.0, a, z, impl="xla").view(np.uint64)
+    for fpe in (2, 8):
+        gg = xb.exgemv("N", 1.0, a, z, impl="pallas", fpe=fpe)
+        assert (gg.view(np.uint64) == wg).all(), fpe
