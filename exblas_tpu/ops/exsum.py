@@ -54,16 +54,17 @@ def _exsum_bits_mxu_auto(hi, lo):
 
     * ROUTE: one ~1/8 sample of the hi words (~0.5 byte/element) gives an
       anchor estimate and a sampled spread.  A sampled spread can only
-      UNDERestimate the true one, so "sampled spread > 96" soundly proves
-      the MXU window can't cover the data: go straight to the VPU kernel
-      with no wasted MXU pass.
-    * FAST: 96-bit MXU byte-plane kernel at the sampled anchor with
-      per-element coverage checking in-kernel -- no analysis pass on the
-      hot path.
+      UNDERestimate the true one, so a sampled spread past the widest MXU
+      window soundly proves no window covers the data: go straight to the
+      VPU kernel with no wasted MXU pass.  Otherwise pick the narrowest
+      window (96 or 128 anchored bits) the sampled spread fits with the
+      anchor slack.
+    * FAST: MXU byte-plane kernel at the sampled anchor with per-element
+      coverage checking in-kernel -- no analysis pass on the hot path.
     * SLOW (kernel flagged an uncovered element or a NaN/Inf): one exact
-      max-exponent pass, retry the same kernel at the exact anchor, and
-      only if elements still don't fit the 96-bit window (or specials
-      are present) run the exact VPU kernel.
+      max-exponent pass, retry the widest (128-bit) kernel at the exact
+      anchor, and only if elements still don't fit (or specials are
+      present) run the exact VPU kernel.
     """
     from .kernels.sum_kernel import exsum_bits_pallas
     from .kernels.sum_mxu import (exact_anchor, sample_anchor,
@@ -74,24 +75,34 @@ def _exsum_bits_mxu_auto(hi, lo):
     pad = r_pad * 128 - n
     e_est, spread_est = sample_anchor(hi)
 
-    def fast_tier(_):
-        # pad+reshape INSIDE the branch: tile-native (free) when fused
-        # into the kernel input here; captured by the cond from outside
-        # it materializes a 2x64 MB copy (~0.2 ms measured at n=2^24)
-        hi2 = jnp.pad(hi, (0, pad)).reshape(r_pad, 128)
-        lo2 = jnp.pad(lo, (0, pad)).reshape(r_pad, 128)
-        bits_fast, bad = sum_bits_mxu(hi2, lo2, e_est, nwa=3)
+    def vpu(_):
+        return exsum_bits_pallas(hi, lo)
 
-        def slow(_):
-            bits2, bad2 = sum_bits_mxu(hi2, lo2, exact_anchor(hi), nwa=3)
-            return jax.lax.cond(
-                bad2, lambda _: exsum_bits_pallas(hi, lo),
-                lambda _: bits2, operand=None)
+    def fast_tier(nwa):
+        def f(_):
+            # pad+reshape INSIDE the branch: tile-native (free) when fused
+            # into the kernel input here; captured by the cond from outside
+            # it materializes a 2x64 MB copy (~0.2 ms measured at n=2^24)
+            hi2 = jnp.pad(hi, (0, pad)).reshape(r_pad, 128)
+            lo2 = jnp.pad(lo, (0, pad)).reshape(r_pad, 128)
+            bits_fast, bad = sum_bits_mxu(hi2, lo2, e_est, nwa=nwa)
 
-        return jax.lax.cond(bad, slow, lambda _: bits_fast, operand=None)
+            def slow(_):
+                bits2, bad2 = sum_bits_mxu(hi2, lo2, exact_anchor(hi),
+                                           nwa=4)
+                return jax.lax.cond(bad2, vpu, lambda _: bits2,
+                                    operand=None)
 
-    return jax.lax.cond(spread_est > 96, lambda _: exsum_bits_pallas(hi, lo),
-                        fast_tier, operand=None)
+            return jax.lax.cond(bad, slow, lambda _: bits_fast,
+                                operand=None)
+        return f
+
+    # spread_est is measured against the slack-bumped sampled anchor, so
+    # it compares against the full window widths directly
+    idx = jnp.where(spread_est <= 96, jnp.int32(0),
+                    jnp.where(spread_est <= 128, jnp.int32(1),
+                              jnp.int32(2)))
+    return jax.lax.switch(idx, [fast_tier(3), fast_tier(4), vpu], None)
 
 
 # fpe/early_exit -> kernel tiling variant (rows per grid step).  Different

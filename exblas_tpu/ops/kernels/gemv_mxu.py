@@ -369,6 +369,12 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False):
     if nwa == 3:
         big = sh >= _I(32)
         sh = sh - jnp.where(big, _I(32), _I(0))
+    elif nwa == 4:
+        # sh in [0, 75]: up to two whole-word shifts, then sh in [0, 31]
+        big1 = sh >= _I(32)
+        sh = sh - jnp.where(big1, _I(32), _I(0))
+        big2 = sh >= _I(32)
+        sh = sh - jnp.where(big2, _I(32), _I(0))
     shu = jax.lax.bitcast_convert_type(sh, _U)
     shn = jax.lax.bitcast_convert_type(_I(31) - sh, _U)
     mlou = jax.lax.bitcast_convert_type(mlo, _U)
@@ -381,6 +387,15 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False):
         w1 = jnp.where(big, w0, w1)
         w0 = jnp.where(big, _U(0), w0)
         words = [w0, w1, w2]
+    elif nwa == 4:
+        w2 = (mhiu >> _U(1)) >> shn
+        w3 = jnp.zeros_like(w2)
+        for b in (big1, big2):
+            w3 = jnp.where(b, w2, w3)
+            w2 = jnp.where(b, w1, w2)
+            w1 = jnp.where(b, w0, w1)
+            w0 = jnp.where(b, _U(0), w0)
+        words = [w0, w1, w2, w3]
     else:
         words = [w0, w1]
 

@@ -210,12 +210,20 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000,
              f"fpe={fpe} ee={early_exit} impl={impl}")
     if routine == "exsum":
         x = gen_vector(dist, n, rng)
-        got = xb.exsum(x, fpe=fpe, early_exit=early_exit, impl=impl)
+        # on TPU "pallas" maps to the full sum path (MXU ladder + VPU);
+        # every case ALSO runs the forced VPU kernel for cross-impl bits
+        s_impl = "mxu" if impl == "pallas" else impl
+        label = (f"case {idx} (seed {campaign_seed}): exsum {dist} n={n} "
+                 f"fpe={fpe} ee={early_exit} impl={s_impl}")
+        got = xb.exsum(x, fpe=fpe, early_exit=early_exit, impl=s_impl)
         want = (_SUM_ORACLE or exact_sum_with_specials)(x)
         assert_same_bits(got, want, label)
+        if s_impl != impl:
+            got_v = xb.exsum(x, fpe=fpe, early_exit=early_exit, impl=impl)
+            assert_same_bits(got_v, got, label + " [vpu-vs-mxu]")
         # reproducibility under permutation
         p = rng.permutation(n)
-        got_p = xb.exsum(x[p], fpe=fpe, early_exit=early_exit, impl=impl)
+        got_p = xb.exsum(x[p], fpe=fpe, early_exit=early_exit, impl=s_impl)
         assert_same_bits(got_p, got, label + " [permuted]")
     elif routine == "exdot":
         a = gen_vector(dist, n, rng)

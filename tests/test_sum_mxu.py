@@ -126,3 +126,25 @@ def test_padding_edge_sizes():
     rng = np.random.default_rng(22)
     for n in (1, 127, 128, 129, 65536, 65537):
         _check(rng.uniform(-1, 1, n))
+
+
+def test_wide_spread_nwa4_tier():
+    """fpuniform range 50 (spread ~103 bits) fits the 128-bit window."""
+    import exblas_tpu as xb
+
+    _check(xb.init_fpuniform(3000, 50, -25, seed=41))
+    _check(xb.init_fpuniform(3000, 66, -33, seed=42))   # spread ~119
+
+
+def test_beyond_128_goes_vpu():
+    import exblas_tpu as xb
+
+    _check(xb.init_fpuniform(3000, 80, -40, seed=43))   # spread ~133
+
+
+def test_wide_outlier_retry_nwa4():
+    import exblas_tpu as xb
+
+    x = xb.init_fpuniform(30000, 50, -25, seed=45)
+    x[123] = np.ldexp(1.0, 60)   # above sampled window: retry tier
+    _check(x)
