@@ -151,7 +151,10 @@ def _validate_fpe(fpe: int):
 # Jittable auto dispatch: MXU byte-plane ladder with device-resident coverage
 # ---------------------------------------------------------------------------
 
-_GEMV_RUNGS = ((2, 2), (3, 3))  # (nwa, nwz) word counts: 64/96 anchored bits
+# (nwa, nwz) word counts: 64/96/128 anchored bits per side.  The ladder
+# picks the narrowest rung covering BOTH the per-row A spreads and the z
+# spread; data past 128 bits falls back to the exact VPU kernel.
+_GEMV_RUNGS = ((2, 2), (3, 3), (4, 4))
 
 
 def _gemv_special_rows(a_hi, a_lo, z_hi, z_lo):

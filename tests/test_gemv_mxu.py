@@ -245,3 +245,23 @@ def test_mxu_gemv_deep_subnormal_beta():
     # except the straddler
     _check(a[:, :1], x[:1], alpha=1.0, beta=1.0, y=y,
            label="single deep product")
+
+
+def test_wide_range_rung44():
+    """128-bit (nwa=4, nwz=4) rung: wide-range A and x ride the MXU
+    (previously the exact VPU fallback); spreads past 128 still fall back.
+    """
+    import exblas_tpu as xb
+
+    a = xb.init_fpuniform_matrix(96, 200, 50, -25, seed=50)
+    x = xb.init_fpuniform(200, 50, -25, seed=52)
+    _check(a, x, label="wide 50 beta=0")
+    y = xb.init_fpuniform(96, 10, -5, seed=53)
+    _check(a, x, alpha=2.5, beta=3.5, y=y, label="wide 50 beta=3.5")
+    a2 = xb.init_fpuniform_matrix(64, 100, 90, -45, seed=54)
+    x2 = xb.init_fpuniform(100, 2, 0, seed=55)
+    _check(a2, x2, label="spread>128 fallback")
+    a3 = xb.init_fpuniform_matrix(64, 128, 30, -1060, seed=56)
+    x3 = xb.init_fpuniform(128, 5, 0, seed=57)
+    _check(a3, x3, beta=1.0, y=xb.init_fpuniform(64, 3, -900, seed=58),
+           label="deep subnormal rung44 beta=1")
