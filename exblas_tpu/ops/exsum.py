@@ -57,12 +57,11 @@ def _exsum_bits_mxu_auto(hi, lo):
       UNDERestimate the true one, so a sampled spread past the widest MXU
       window soundly proves no window covers the data: go straight to the
       VPU kernel with no wasted MXU pass.  Otherwise pick the narrowest
-      window (96 or 128 anchored bits) the sampled spread fits with the
-      anchor slack.
+      window (96 / 128 / 160 anchored bits) the sampled spread fits.
     * FAST: MXU byte-plane kernel at the sampled anchor with per-element
       coverage checking in-kernel -- no analysis pass on the hot path.
     * SLOW (kernel flagged an uncovered element or a NaN/Inf): one exact
-      max-exponent pass, retry the widest (128-bit) kernel at the exact
+      max-exponent pass, retry the widest (160-bit) kernel at the exact
       anchor, and only if elements still don't fit (or specials are
       present) run the exact VPU kernel.
     """
@@ -89,7 +88,7 @@ def _exsum_bits_mxu_auto(hi, lo):
 
             def slow(_):
                 bits2, bad2 = sum_bits_mxu(hi2, lo2, exact_anchor(hi),
-                                           nwa=4)
+                                           nwa=5)
                 return jax.lax.cond(bad2, vpu, lambda _: bits2,
                                     operand=None)
 
@@ -101,8 +100,10 @@ def _exsum_bits_mxu_auto(hi, lo):
     # it compares against the full window widths directly
     idx = jnp.where(spread_est <= 96, jnp.int32(0),
                     jnp.where(spread_est <= 128, jnp.int32(1),
-                              jnp.int32(2)))
-    return jax.lax.switch(idx, [fast_tier(3), fast_tier(4), vpu], None)
+                              jnp.where(spread_est <= 160, jnp.int32(2),
+                                        jnp.int32(3))))
+    return jax.lax.switch(
+        idx, [fast_tier(3), fast_tier(4), fast_tier(5), vpu], None)
 
 
 # fpe/early_exit -> kernel tiling variant (rows per grid step).  Different

@@ -366,15 +366,17 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False):
         nz = (mhi | mlo) != 0
         oob = jnp.logical_or(sh < 0, sh > _I(w_a - 53))
         bad = jnp.logical_or(jnp.logical_and(nz, oob), special)
+    bigs = []
     if nwa == 3:
         big = sh >= _I(32)
         sh = sh - jnp.where(big, _I(32), _I(0))
-    elif nwa == 4:
-        # sh in [0, 75]: up to two whole-word shifts, then sh in [0, 31]
-        big1 = sh >= _I(32)
-        sh = sh - jnp.where(big1, _I(32), _I(0))
-        big2 = sh >= _I(32)
-        sh = sh - jnp.where(big2, _I(32), _I(0))
+    elif nwa >= 4:
+        # sh in [0, 32*(nwa-2) + 11]: up to nwa-2 whole-word shifts, then
+        # sh in [0, 31]
+        for _ in range(nwa - 2):
+            b = sh >= _I(32)
+            sh = sh - jnp.where(b, _I(32), _I(0))
+            bigs.append(b)
     shu = jax.lax.bitcast_convert_type(sh, _U)
     shn = jax.lax.bitcast_convert_type(_I(31) - sh, _U)
     mlou = jax.lax.bitcast_convert_type(mlo, _U)
@@ -387,15 +389,14 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False):
         w1 = jnp.where(big, w0, w1)
         w0 = jnp.where(big, _U(0), w0)
         words = [w0, w1, w2]
-    elif nwa == 4:
+    elif nwa >= 4:
         w2 = (mhiu >> _U(1)) >> shn
-        w3 = jnp.zeros_like(w2)
-        for b in (big1, big2):
-            w3 = jnp.where(b, w2, w3)
-            w2 = jnp.where(b, w1, w2)
-            w1 = jnp.where(b, w0, w1)
-            w0 = jnp.where(b, _U(0), w0)
-        words = [w0, w1, w2, w3]
+        words = [w0, w1, w2] + [jnp.zeros_like(w2)] * (nwa - 3)
+        for b in bigs:   # conditionally shift the word stack up one slot
+            for j in range(nwa - 1, 0, -1):
+                words[j] = jnp.where(b, words[j - 1], words[j])
+            words[0] = jnp.where(b, _U(0), words[0])
+        words = list(words)
     else:
         words = [w0, w1]
 

@@ -148,3 +148,14 @@ def test_wide_outlier_retry_nwa4():
     x = xb.init_fpuniform(30000, 50, -25, seed=45)
     x[123] = np.ldexp(1.0, 60)   # above sampled window: retry tier
     _check(x)
+
+
+def test_illcond_nwa5_tier():
+    """160-bit window: ill-conditioned c=1e30 data (spread ~153) rides
+    the MXU; c=1e50 (spread ~219) still falls back to the VPU kernel."""
+    import exblas_tpu as xb
+
+    _check(xb.init_ill_cond(3000, 1e30, seed=90))
+    _check(xb.init_fpuniform(3000, 100, -50, seed=91))
+    _check(xb.init_fpuniform(3000, 120, -60, seed=92))   # > 160: VPU
+    _check(xb.init_ill_cond(3000, 1e50, seed=93))        # > 160: VPU
