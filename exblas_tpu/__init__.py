@@ -25,14 +25,21 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 # Remote-TPU compiles are expensive (minutes); persist them across processes.
-_cache_dir = _os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/jax_exblas")
-)
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # pragma: no cover - older jax without these options
-    pass
+# JAX_EXBLAS_CACHE=0 opts out: the CPU test suite disables the persistent
+# cache (tests/conftest.py) because CPU executables AOT-compiled via the
+# remote helper can carry mismatched machine features, and concurrent
+# writers (a TPU fuzz run alongside the CPU suite) can segfault the
+# cache reader.
+if _os.environ.get("JAX_EXBLAS_CACHE", "1") != "0":
+    _cache_dir = _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/jax_exblas")
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without these options
+        pass
 
 from . import core  # noqa: E402
 from .ops import (  # noqa: E402

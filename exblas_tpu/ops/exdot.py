@@ -15,6 +15,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core import accumulator as acc_mod
@@ -32,7 +33,104 @@ def _validate_fpe(fpe: int):
 
 
 def _default_impl() -> str:
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "auto" if jax.default_backend() == "tpu" else "xla"
+
+
+# Below this size the VPU kernel's one-pass design wins (the MXU ladder
+# pays two sample passes plus its routing switch).
+_DOT_MXU_MIN = 1 << 20
+
+
+def _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu):
+    """Shared tier routing for the MXU dot paths (bits and Superacc).
+
+    * ROUTE: ~1/8 samples of BOTH hi streams give per-vector anchor
+      estimates and sampled spreads.  Sampled spreads only UNDERestimate,
+      so max(spread) past the widest window soundly proves no window
+      covers the data: straight to the VPU kernel, no wasted MXU pass.
+    * FAST: cross-plane MXU kernel at the sampled anchors with in-kernel
+      per-element coverage checks (dot_mxu.py); a flagged element costs
+      an exact-anchor (5,5) retry, then the exact VPU kernel.
+    * The widest (160-bit) tier runs with the anchor slack undone (the
+      +8 bump would shrink the usable window to 152 bits, making
+      near-full-window data -- ill-conditioned dots -- fail the sampled
+      pass every time); its routing threshold is 168 = 160 + slack since
+      the sampled spread carries the bump.  The in-kernel check still
+      backstops a sampling miss of the true maximum.
+    """
+    from .kernels.dot_mxu import dot_pad_rows, WIDE
+    from .kernels.sum_mxu import (_ANCHOR_SLACK, exact_anchor,
+                                  sample_anchor)
+
+    n = hi_a.shape[0]
+    r8 = dot_pad_rows(n)
+    pad = r8 * WIDE - n
+    ea_est, spread_a = sample_anchor(hi_a)
+    eb_est, spread_b = sample_anchor(hi_b)
+    spread = jnp.maximum(spread_a, spread_b)
+
+    def tier(nw, deslack=0):
+        def f(_):
+            # pad+reshape INSIDE the branch (captured from outside the
+            # cond it materializes copies; here it fuses into the kernel)
+            a = tuple(
+                jnp.pad(x, (0, pad)).reshape(r8, WIDE)
+                for x in (hi_a, lo_a, hi_b, lo_b))
+            out, bad = fast(*a, ea_est - deslack, eb_est - deslack, nw)
+
+            def slow(_):
+                out2, bad2 = fast(*a, exact_anchor(hi_a),
+                                  exact_anchor(hi_b), 5)
+                return jax.lax.cond(bad2, vpu, lambda _: out2,
+                                    operand=None)
+
+            return jax.lax.cond(bad, slow, lambda _: out, operand=None)
+        return f
+
+    idx = jnp.where(spread <= 96, jnp.int32(0),
+                    jnp.where(spread <= 128, jnp.int32(1),
+                              jnp.where(spread <= 160 + _ANCHOR_SLACK,
+                                        jnp.int32(2), jnp.int32(3))))
+    return jax.lax.switch(
+        idx, [tier(3), tier(4), tier(5, deslack=_ANCHOR_SLACK), vpu], None)
+
+
+@jax.jit
+def _exdot_bits_mxu_auto(hi_a, lo_a, hi_b, lo_b):
+    from .kernels.dot_kernel import exdot_bits_pallas
+    from .kernels.dot_mxu import dot_bits_mxu
+
+    def fast(ha, la, hb, lb, ea, eb, nw):
+        return dot_bits_mxu(ha, la, hb, lb, ea, eb, nwa=nw, nwb=nw)
+
+    def vpu(_):
+        return exdot_bits_pallas(hi_a, lo_a, hi_b, lo_b)
+
+    return _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu)
+
+
+@jax.jit
+def _exdot_acc_mxu_auto(hi_a, lo_a, hi_b, lo_b) -> Superacc:
+    """Superacc-producing twin (absolute DOT_FORMAT limbs: the
+    distributed int32-limb psum wire format)."""
+    from .kernels.dot_kernel import exdot_pallas
+    from .kernels.dot_mxu import dot_acc_limbs_mxu
+    from ..core.accumulator import to_int32_limbs
+
+    def as_acc(limbs64):
+        return Superacc(limbs=to_int32_limbs(limbs64),
+                        special=jnp.zeros((3,), jnp.int32),
+                        fmt=DOT_FORMAT)
+
+    def fast(ha, la, hb, lb, ea, eb, nw):
+        limbs, bad = dot_acc_limbs_mxu(ha, la, hb, lb, ea, eb,
+                                       nwa=nw, nwb=nw)
+        return as_acc(limbs), bad
+
+    def vpu(_):
+        return exdot_pallas(hi_a, lo_a, hi_b, lo_b)
+
+    return _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu)
 
 
 def _variant_rows(fpe: int, early_exit: bool) -> int:
@@ -44,14 +142,23 @@ def _variant_rows(fpe: int, early_exit: bool) -> int:
     return min(320, r * 2) if early_exit else r
 
 
+def _use_mxu(n: int, impl: str) -> bool:
+    from .kernels.dot_mxu import MAX_N_DOT_MXU
+
+    return n <= MAX_N_DOT_MXU and (
+        impl == "mxu" or (impl == "auto" and n >= _DOT_MXU_MIN))
+
+
 @partial(jax.jit, static_argnames=("impl", "rows"))
 def _exdot_acc_jit(hi_a, lo_a, hi_b, lo_b, impl: str, rows: int) -> Superacc:
-    if impl == "xla":
-        return acc_mod.accumulate_dot_terms(hi_a, lo_a, hi_b, lo_b, DOT_FORMAT)
-    elif impl == "pallas":
+    if _use_mxu(hi_a.shape[0], impl):
+        return _exdot_acc_mxu_auto(hi_a, lo_a, hi_b, lo_b)
+    if impl in ("auto", "pallas", "mxu"):
         from .kernels.dot_kernel import exdot_pallas
 
         return exdot_pallas(hi_a, lo_a, hi_b, lo_b, rows=rows)
+    elif impl == "xla":
+        return acc_mod.accumulate_dot_terms(hi_a, lo_a, hi_b, lo_b, DOT_FORMAT)
     else:
         raise ValueError(f"unknown impl {impl!r}")
 
@@ -59,7 +166,9 @@ def _exdot_acc_jit(hi_a, lo_a, hi_b, lo_b, impl: str, rows: int) -> Superacc:
 @partial(jax.jit, static_argnames=("impl", "rows"))
 def _exdot_bits_jit(hi_a, lo_a, hi_b, lo_b, impl: str, rows: int):
     # Fused accumulate + round (eager epilogues pay per-op host round trips).
-    if impl == "pallas":
+    if _use_mxu(hi_a.shape[0], impl):
+        return _exdot_bits_mxu_auto(hi_a, lo_a, hi_b, lo_b)
+    if impl in ("auto", "pallas", "mxu"):
         # rounding runs in-kernel too: the XLA epilogue's tiny-tensor ops
         # otherwise dominate the streaming kernel
         from .kernels.dot_kernel import exdot_bits_pallas

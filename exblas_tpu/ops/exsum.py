@@ -43,9 +43,10 @@ def _default_impl() -> str:
     return "auto" if jax.default_backend() == "tpu" else "xla"
 
 
-# Below this size the VPU kernel's one-pass design wins (the MXU path pays
-# a separate 4-byte/element analysis pass + kernel launch).
-_SUM_MXU_MIN = 1 << 17
+# Below this size the VPU kernel's one-pass design wins: the MXU ladder
+# carries ~50 us of fixed overhead (sample pass + routing switch), the
+# measured crossover is ~2^20 elements.
+_SUM_MXU_MIN = 1 << 20
 
 
 @jax.jit
@@ -66,7 +67,8 @@ def _exsum_bits_mxu_auto(hi, lo):
       present) run the exact VPU kernel.
     """
     from .kernels.sum_kernel import exsum_bits_pallas
-    from .kernels.sum_mxu import (exact_anchor, sample_anchor,
+    from .kernels.sum_mxu import (_ANCHOR_SLACK as _SUM_SLACK,
+                                  exact_anchor, sample_anchor,
                                   sum_bits_mxu, sum_pad_rows)
 
     n = hi.shape[0]
@@ -77,14 +79,15 @@ def _exsum_bits_mxu_auto(hi, lo):
     def vpu(_):
         return exsum_bits_pallas(hi, lo)
 
-    def fast_tier(nwa):
+    def fast_tier(nwa, deslack=0):
         def f(_):
             # pad+reshape INSIDE the branch: tile-native (free) when fused
             # into the kernel input here; captured by the cond from outside
             # it materializes a 2x64 MB copy (~0.2 ms measured at n=2^24)
             hi2 = jnp.pad(hi, (0, pad)).reshape(r_pad, 128)
             lo2 = jnp.pad(lo, (0, pad)).reshape(r_pad, 128)
-            bits_fast, bad = sum_bits_mxu(hi2, lo2, e_est, nwa=nwa)
+            bits_fast, bad = sum_bits_mxu(hi2, lo2, e_est - deslack,
+                                          nwa=nwa)
 
             def slow(_):
                 bits2, bad2 = sum_bits_mxu(hi2, lo2, exact_anchor(hi),
@@ -97,13 +100,18 @@ def _exsum_bits_mxu_auto(hi, lo):
         return f
 
     # spread_est is measured against the slack-bumped sampled anchor, so
-    # it compares against the full window widths directly
+    # it compares against the full window widths directly.  The widest
+    # tier runs with the slack undone (full 160-bit window; the bump
+    # would make near-full-window ill-conditioned data fail every sampled
+    # pass) and its threshold carries the bump; the in-kernel check still
+    # backstops a sampling miss of the true maximum.
     idx = jnp.where(spread_est <= 96, jnp.int32(0),
                     jnp.where(spread_est <= 128, jnp.int32(1),
-                              jnp.where(spread_est <= 160, jnp.int32(2),
-                                        jnp.int32(3))))
+                              jnp.where(spread_est <= 160 + _SUM_SLACK,
+                                        jnp.int32(2), jnp.int32(3))))
     return jax.lax.switch(
-        idx, [fast_tier(3), fast_tier(4), fast_tier(5), vpu], None)
+        idx, [fast_tier(3), fast_tier(4), fast_tier(5, deslack=_SUM_SLACK),
+              vpu], None)
 
 
 # fpe/early_exit -> kernel tiling variant (rows per grid step).  Different
@@ -119,14 +127,72 @@ def _variant_rows(fpe: int, early_exit: bool) -> int:
 
 @partial(jax.jit, static_argnames=("impl", "rows"))
 def _exsum_acc_jit(hi, lo, impl: str, rows: int) -> Superacc:
-    if impl == "xla":
-        return acc_mod.accumulate_sum_terms(hi, lo, SUM_FORMAT)
-    elif impl == "pallas":
+    from .kernels.sum_mxu import MAX_N_MXU
+
+    if hi.shape[0] <= MAX_N_MXU and (
+            impl == "mxu"
+            or (impl == "auto" and hi.shape[0] >= _SUM_MXU_MIN)):
+        return _exsum_acc_mxu_auto(hi, lo)
+    if impl in ("auto", "pallas", "mxu"):
         from .kernels.sum_kernel import exsum_pallas
 
         return exsum_pallas(hi, lo, rows=rows)
+    elif impl == "xla":
+        return acc_mod.accumulate_sum_terms(hi, lo, SUM_FORMAT)
     else:
         raise ValueError(f"unknown impl {impl!r}")
+
+
+@jax.jit
+def _exsum_acc_mxu_auto(hi, lo) -> Superacc:
+    """Superacc-producing twin of ``_exsum_bits_mxu_auto`` (same tiers,
+    same routing): the MXU plane sums are shifted into ABSOLUTE
+    SUM_FORMAT limbs, so the result feeds the distributed int32-limb
+    psum wire format.  Bit-exact state: merging/rounding downstream is
+    identical to the VPU/XLA accumulators'."""
+    from .kernels.sum_kernel import exsum_pallas
+    from .kernels.sum_mxu import (_ANCHOR_SLACK as _SUM_SLACK,
+                                  exact_anchor, sample_anchor,
+                                  sum_acc_limbs_mxu, sum_pad_rows)
+    from ..core.accumulator import to_int32_limbs
+
+    n = hi.shape[0]
+    r_pad = sum_pad_rows(n)
+    pad = r_pad * 128 - n
+    e_est, spread_est = sample_anchor(hi)
+
+    def vpu(_):
+        return exsum_pallas(hi, lo)
+
+    def as_acc(limbs64):
+        return Superacc(limbs=to_int32_limbs(limbs64),
+                        special=jnp.zeros((3,), jnp.int32),
+                        fmt=SUM_FORMAT)
+
+    def fast_tier(nwa, deslack=0):
+        def f(_):
+            hi2 = jnp.pad(hi, (0, pad)).reshape(r_pad, 128)
+            lo2 = jnp.pad(lo, (0, pad)).reshape(r_pad, 128)
+            limbs, bad = sum_acc_limbs_mxu(hi2, lo2, e_est - deslack,
+                                           nwa=nwa)
+
+            def slow(_):
+                l2, bad2 = sum_acc_limbs_mxu(hi2, lo2, exact_anchor(hi),
+                                             nwa=5)
+                return jax.lax.cond(bad2, vpu, lambda _: as_acc(l2),
+                                    operand=None)
+
+            return jax.lax.cond(bad, slow, lambda _: as_acc(limbs),
+                                operand=None)
+        return f
+
+    idx = jnp.where(spread_est <= 96, jnp.int32(0),
+                    jnp.where(spread_est <= 128, jnp.int32(1),
+                              jnp.where(spread_est <= 160 + _SUM_SLACK,
+                                        jnp.int32(2), jnp.int32(3))))
+    return jax.lax.switch(
+        idx, [fast_tier(3), fast_tier(4), fast_tier(5, deslack=_SUM_SLACK),
+              vpu], None)
 
 
 @partial(jax.jit, static_argnames=("impl", "rows"))
@@ -159,8 +225,6 @@ def exsum_acc(x, inca: int = 1, offset: int = 0, fpe: int = 2,
     if offset or inca != 1:
         bits = F64Bits(hi=bits.hi[offset::inca], lo=bits.lo[offset::inca])
     impl = impl or _default_impl()
-    if impl in ("auto", "mxu"):
-        impl = "pallas"  # the Superacc path is the VPU/XLA kernels' output
     return _exsum_acc_jit(bits.hi, bits.lo, impl,
                           _variant_rows(fpe, early_exit))
 

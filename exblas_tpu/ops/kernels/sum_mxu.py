@@ -166,17 +166,12 @@ def _sum_flat_kernel(hi_ref, lo_ref, e_ref, sel_ref,
         bad.astype(_I).reshape(b8, 8, LANES), axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("nwa",))
-def sum_bits_mxu(hi2, lo2, e_anchor, nwa: int = 3):
-    """Correctly rounded exact sum of the (R_pad, 128) bit-pair layout.
+def _sum_rel_limbs(hi2, lo2, e_anchor, nwa: int):
+    """Shared kernel + epilogue: exact relative limbs of the sum.
 
-    e_anchor: int32 scalar anchor (upper bound on covered elements' msb
-    exponents).  Returns ``(bits, bad)``: uint64 result bits and a bool
-    that is True when ANY element was not covered by the anchor window
-    (or was NaN/Inf) -- the bits must then be discarded by the caller.
-    Exactness: every covered element is represented exactly in the
-    anchored fixed-point window, plane sums are exact int32, and the
-    epilogue is exact int64 -> one correct rounding.
+    Returns (limbs int64 (n_limbs,), bad): rel bit p has exponent
+    p + e_anchor + 1 - 32*nwa.  ``bad`` True when any element was not
+    covered by the anchor window (or was NaN/Inf).
     """
     r_pad, lanes = hi2.shape
     assert lanes == LANES and r_pad % BLOCK_ROWS == 0
@@ -238,10 +233,63 @@ def sum_bits_mxu(hi2, lo2, e_anchor, nwa: int = 3):
             limbs = limbs.at[q + 2].add(v >> _I64(40 - r))
     q, r = divmod(w_a, LIMB_BITS)
     limbs = limbs.at[q].add(-(negtot << _I64(r)))  # negtot < 2^31: one limb
+    return limbs, jnp.max(flag) > 0    # flag is per (phase, lane)
 
+
+@functools.partial(jax.jit, static_argnames=("nwa",))
+def sum_bits_mxu(hi2, lo2, e_anchor, nwa: int = 3):
+    """Correctly rounded exact sum of the (R_pad, 128) bit-pair layout.
+
+    e_anchor: int32 scalar anchor (upper bound on covered elements' msb
+    exponents).  Returns ``(bits, bad)``: uint64 result bits and a bool
+    that is True when ANY element was not covered by the anchor window
+    (or was NaN/Inf) -- the bits must then be discarded by the caller.
+    Exactness: every covered element is represented exactly in the
+    anchored fixed-point window, plane sums are exact int32, and the
+    epilogue is exact int64 -> one correct rounding.
+    """
+    limbs, bad = _sum_rel_limbs(hi2, lo2, e_anchor, nwa)
     digits, negative = canonicalize_digits(limbs[None, :])
-    fmt = AccFormat(n_limbs=n_limbs, offset_bits=0)
+    fmt = AccFormat(n_limbs=limbs.shape[0], offset_bits=0)
     bits = round_digits_to_f64_bits(
         digits, negative, fmt,
-        e_adjust=(e_anchor + _I(1) - _I(w_a)).reshape(1))
-    return bits[0], jnp.max(flag) > 0   # flag is per (phase, lane)
+        e_adjust=(e_anchor + _I(1) - _I(32 * nwa)).reshape(1))
+    return bits[0], bad
+
+
+@functools.partial(jax.jit, static_argnames=("nwa",))
+def sum_acc_limbs_mxu(hi2, lo2, e_anchor, nwa: int = 3):
+    """Exact sum as ABSOLUTE SUM_FORMAT limbs (the distributed wire
+    format): returns (limbs int64 (L_SUM,), bad).
+
+    The relative digits are canonicalized, sign-magnitude shifted into
+    the absolute frame (rel bit 0 = absolute bit p0 = e_anchor + 1 -
+    32*nwa + offset), and deposited with masked broadcasts.  Every
+    covered element is a multiple of 2^-1074 = absolute bit 0, so
+    canonical digits entirely below bit 0 are zero and at most one digit
+    straddles it (folded with an exact right shift).
+    """
+    from ...core.rounding import negate_digits
+    from ...core.types import SUM_FORMAT
+
+    w_a = 32 * nwa
+    rel, bad = _sum_rel_limbs(hi2, lo2, e_anchor, nwa)
+    digits, negative = canonicalize_digits(rel[None, :])
+    mag = jnp.where(negative[:, None], negate_digits(digits), digits)[0]
+    sgn = jnp.where(negative[0], _I64(-1), _I64(1))
+
+    p0 = e_anchor + _I(1) - _I(w_a) + _I(SUM_FORMAT.offset_bits)
+    q0 = p0 // _I(LIMB_BITS)
+    rb = (p0 - q0 * _I(LIMB_BITS)).astype(_I64)
+    L = SUM_FORMAT.n_limbs
+    qs = jnp.arange(L, dtype=_I)
+    abs_limbs = jnp.zeros((L,), _I64)
+    for j in range(rel.shape[0]):
+        q = q0 + _I(j)
+        vj = (mag[j].astype(_I64) << rb) * sgn          # |vj| < 2^40
+        sh = (jnp.maximum(-q, 0) * _I(LIMB_BITS)).astype(_I64)
+        vj = jnp.where(sh > _I64(LIMB_BITS + 19), _I64(0),
+                       vj >> jnp.minimum(sh, _I64(62)))
+        abs_limbs = abs_limbs + jnp.where(
+            qs == jnp.maximum(q, _I(0)), vj, _I64(0))
+    return abs_limbs, bad

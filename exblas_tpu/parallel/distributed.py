@@ -52,18 +52,26 @@ def psum_superacc(acc: Superacc, axis: str = AXIS) -> Superacc:
 
 
 def _local_sum_acc(hi, lo, impl: str, rows: int) -> Superacc:
-    if impl == "pallas":
-        from ..ops.kernels.sum_kernel import exsum_pallas
+    if impl in ("pallas", "auto", "mxu"):
+        # per-shard accumulation through the same auto ladder as the
+        # single-chip exsum (MXU byte-plane tiers with VPU fallback);
+        # absolute SUM_FORMAT limbs, so the psum wire format is unchanged
+        from ..ops.exsum import _exsum_acc_jit
 
-        return exsum_pallas(hi, lo, rows=rows)
+        return _exsum_acc_jit(hi, lo, "auto" if impl == "pallas" else impl,
+                              rows)
     return acc_mod.accumulate_sum_terms(hi, lo, SUM_FORMAT)
 
 
 def _local_dot_acc(hi_a, lo_a, hi_b, lo_b, impl: str, rows: int) -> Superacc:
-    if impl == "pallas":
-        from ..ops.kernels.dot_kernel import exdot_pallas
+    if impl in ("pallas", "auto", "mxu"):
+        # per-shard accumulation through the same auto ladder as the
+        # single-chip exdot (cross-plane MXU tiers with VPU fallback);
+        # absolute DOT_FORMAT limbs, so the psum wire format is unchanged
+        from ..ops.exdot import _exdot_acc_jit
 
-        return exdot_pallas(hi_a, lo_a, hi_b, lo_b, rows=rows)
+        return _exdot_acc_jit(hi_a, lo_a, hi_b, lo_b,
+                              "auto" if impl == "pallas" else impl, rows)
     return acc_mod.accumulate_dot_terms(hi_a, lo_a, hi_b, lo_b, DOT_FORMAT)
 
 

@@ -159,3 +159,31 @@ def test_illcond_nwa5_tier():
     _check(xb.init_fpuniform(3000, 100, -50, seed=91))
     _check(xb.init_fpuniform(3000, 120, -60, seed=92))   # > 160: VPU
     _check(xb.init_ill_cond(3000, 1e50, seed=93))        # > 160: VPU
+
+
+def test_acc_ladder_superacc_and_merge():
+    """The Superacc-producing twin (_exsum_acc_mxu_auto): absolute
+    SUM_FORMAT limbs from the MXU plane sums, mergeable bit-exactly with
+    accumulators from other backends (the distributed wire format)."""
+    import exblas_tpu as xb
+    from exblas_tpu.ops.exsum import _exsum_acc_mxu_auto
+    from exblas_tpu.core.rounding import round_superacc_to_f64_bits
+
+    rng = np.random.default_rng(51)
+    x1 = rng.uniform(-1, 1, 2600)
+    x2 = xb.init_fpuniform(2000, 40, -20, seed=9)
+    b1 = split_f64(x1)
+    with pltpu.force_tpu_interpret_mode():
+        a1 = _exsum_acc_mxu_auto(b1.hi, b1.lo)
+    a2 = xb.exsum_acc(x2, impl="xla")
+    got = np.uint64(np.asarray(round_superacc_to_f64_bits(a1 + a2)))
+    want = np.float64(math.fsum(np.concatenate([x1, x2]))).view(np.uint64)
+    assert got == want
+    # sign-magnitude absolute shift: negative and ill-conditioned states
+    for data in (-np.abs(rng.uniform(0.1, 1, 2500)),
+                 xb.init_ill_cond(3000, 1e30, seed=2)):
+        b = split_f64(np.asarray(data, np.float64))
+        with pltpu.force_tpu_interpret_mode():
+            acc = _exsum_acc_mxu_auto(b.hi, b.lo)
+        got = np.uint64(np.asarray(round_superacc_to_f64_bits(acc)))
+        assert got == np.float64(math.fsum(data)).view(np.uint64)

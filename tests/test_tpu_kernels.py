@@ -377,3 +377,79 @@ def test_negative_carry_climb_large_n_regression():
     for fpe in (2, 8):
         gg = xb.exgemv("N", 1.0, a, z, impl="pallas", fpe=fpe)
         assert (gg.view(np.uint64) == wg).all(), fpe
+
+
+def test_exdot_mxu_auto_matches_pallas():
+    """The cross-plane MXU ExDOT auto ladder (per-vector sampled anchors,
+    in-kernel coverage check, exact-anchor retry, VPU fallback) on real
+    hardware: bits must equal the VPU kernel on every tier."""
+    import exblas_tpu as xb
+
+    rng = np.random.default_rng(61)
+    n = 1 << 21
+    cases = {
+        "narrow": (xb.init_fpuniform(n, 2, 0, seed=62),
+                   xb.init_fpuniform(n, 2, 0, seed=63)),
+        "wide(4,4)": (xb.init_fpuniform(n, 50, -25, seed=64),
+                      xb.init_fpuniform(n, 50, -25, seed=65)),
+        "illcond(5,5)": (xb.init_ill_cond(n, 1e30, seed=66),
+                         rng.uniform(0.5, 2.0, n)),
+        "huge-spread->vpu": (xb.init_fpuniform(n, 300, -150, seed=67),
+                             xb.init_fpuniform(n, 2, 0, seed=68)),
+    }
+    za, zb = (xb.init_fpuniform(n, 2, 0, seed=69),
+              xb.init_fpuniform(n, 2, 0, seed=70))
+    za[::5] = 0.0
+    zb[::3] *= -1.0
+    cases["zeros-signs"] = (za, zb)
+    ra, rb = rng.uniform(0.5, 1, n), rng.uniform(0.5, 1, n)
+    ra[12345] = 2.0**40     # sampled-anchor miss -> exact-anchor retry
+    cases["retry"] = (ra, rb)
+    fa, fb = rng.uniform(-1, 1, n), rng.uniform(-1, 1, n)
+    fa[54321] = 1e300       # in-kernel flag -> retry -> VPU
+    cases["flag->vpu"] = (fa, fb)
+    for name, (a, b) in cases.items():
+        got = xb.exdot(a, b, impl="auto")
+        want = xb.exdot(a, b, impl="pallas")
+        assert np.float64(got).tobytes() == np.float64(want).tobytes(), (
+            name, got, want)
+    # absolute exact-rational oracle on one mxu-forced case
+    from oracle import exact_dot
+
+    w = exact_dot(cases["narrow"][0][:100000], cases["narrow"][1][:100000])
+    g = xb.exdot(cases["narrow"][0][:100000], cases["narrow"][1][:100000],
+                 impl="mxu")
+    assert np.float64(g).tobytes() == np.float64(w).tobytes()
+
+
+def test_acc_mxu_ladders_merge_wire_format_on_chip():
+    """The Superacc-producing MXU twins (sum + dot) on hardware: absolute
+    SUM/DOT-format limbs, bit-mergeable with the VPU kernels' states (the
+    distributed psum wire format), and the sharded wrappers route through
+    them unchanged."""
+    import math
+    import exblas_tpu as xb
+    from exblas_tpu.core.rounding import round_superacc_to_f64_bits
+    from exblas_tpu.parallel import exdot_sharded, exsum_sharded, make_mesh
+
+    n = 1 << 21
+    x = xb.init_fpuniform(n, 40, -20, seed=71)
+    a1 = xb.exsum_acc(x[: n // 2], impl="mxu")
+    a2 = xb.exsum_acc(x[n // 2:], impl="pallas")
+    got = np.uint64(np.asarray(round_superacc_to_f64_bits(a1 + a2)))
+    assert got == np.float64(math.fsum(x)).view(np.uint64)
+
+    a = xb.init_fpuniform(n, 30, -15, seed=72)
+    b = xb.init_fpuniform(n, 30, -15, seed=73)
+    d1 = xb.exdot_acc(a[: n // 2], b[: n // 2], impl="mxu")
+    d2 = xb.exdot_acc(a[n // 2:], b[n // 2:], impl="pallas")
+    gd = np.uint64(np.asarray(round_superacc_to_f64_bits(d1 + d2)))
+    wd = np.float64(xb.exdot(a, b, impl="pallas")).view(np.uint64)
+    assert gd == wd
+
+    mesh = make_mesh(1)
+    gs = np.asarray(exsum_sharded(x, mesh=mesh, impl="auto"))
+    assert np.uint64(gs.reshape(1)[0]) == np.float64(
+        math.fsum(x)).view(np.uint64)
+    gds = np.asarray(exdot_sharded(a, b, mesh=mesh, impl="auto"))
+    assert np.uint64(gds.reshape(1)[0]) == wd
