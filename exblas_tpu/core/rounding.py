@@ -92,6 +92,39 @@ def negate_digits(digits):
     return jnp.moveaxis(out, 0, -1)
 
 
+def rel_limbs_to_abs_limbs(rel, p0, fmt: AccFormat):
+    """Shift RELATIVE int64 limbs into an ABSOLUTE accumulator frame.
+
+    rel: (Lr,) int64 redundant limbs of one exact value; rel bit 0 lands
+    at absolute bit ``p0`` (an int32 scalar that already includes
+    ``fmt.offset_bits``).  Returns (fmt.n_limbs,) int64 absolute limbs --
+    the distributed psum wire frame shared with the VPU/XLA accumulators.
+
+    Precondition (callers' windows guarantee it): the represented value
+    is an integer multiple of absolute bit 0, so canonical digits
+    entirely below bit 0 are zero and at most one digit straddles it
+    (folded with an exact right shift).  Used by the MXU sum/dot
+    Superacc twins (kernels/sum_mxu.py, kernels/dot_mxu.py).
+    """
+    digits, negative = canonicalize_digits(rel[None, :])
+    mag = jnp.where(negative[:, None], negate_digits(digits), digits)[0]
+    sgn = jnp.where(negative[0], _I64(-1), _I64(1))
+
+    q0 = p0 // _I32(LIMB_BITS)
+    rb = (p0 - q0 * _I32(LIMB_BITS)).astype(_I64)
+    qs = jnp.arange(fmt.n_limbs, dtype=_I32)
+    abs_limbs = jnp.zeros((fmt.n_limbs,), _I64)
+    for j in range(rel.shape[0]):
+        q = q0 + _I32(j)
+        vj = (mag[j].astype(_I64) << rb) * sgn          # |vj| < 2^40
+        sh = (jnp.maximum(-q, 0) * _I32(LIMB_BITS)).astype(_I64)
+        vj = jnp.where(sh > _I64(LIMB_BITS + 19), _I64(0),
+                       vj >> jnp.minimum(sh, _I64(62)))
+        abs_limbs = abs_limbs + jnp.where(
+            qs == jnp.maximum(q, _I32(0)), vj, _I64(0))
+    return abs_limbs
+
+
 def _msb_index20(d):
     """Index of the most significant set bit of int32 d in [1, 2^20)."""
     f = d.astype(jnp.float32)  # exact: d < 2^24

@@ -296,32 +296,14 @@ def dot_acc_limbs_mxu(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
     format): returns (limbs int64 (L_DOT,), bad).
 
     Every covered product is an integer multiple of 2^-2148 = absolute
-    bit 0 (each factor is a multiple of 2^-1074), so canonical digits
-    entirely below bit 0 are zero and at most one straddles it (folded
-    with an exact right shift) -- same argument as sum_acc_limbs_mxu.
+    bit 0 (each factor is a multiple of 2^-1074), so the shift is exact
+    (see core.rounding.rel_limbs_to_abs_limbs).
     """
-    from ...core.rounding import negate_digits
+    from ...core.rounding import rel_limbs_to_abs_limbs
     from ...core.types import DOT_FORMAT
 
     rel, bad = _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
                               nwa, nwb)
-    digits, negative = canonicalize_digits(rel[None, :])
-    mag = jnp.where(negative[:, None], negate_digits(digits), digits)[0]
-    sgn = jnp.where(negative[0], _I64(-1), _I64(1))
-
     p0 = (ea + eb + _I(2) - _I(32 * (nwa + nwb))
           + _I(DOT_FORMAT.offset_bits))
-    q0 = p0 // _I(LIMB_BITS)
-    rb = (p0 - q0 * _I(LIMB_BITS)).astype(_I64)
-    L = DOT_FORMAT.n_limbs
-    qs = jnp.arange(L, dtype=_I)
-    abs_limbs = jnp.zeros((L,), _I64)
-    for j in range(rel.shape[0]):
-        q = q0 + _I(j)
-        vj = (mag[j].astype(_I64) << rb) * sgn          # |vj| < 2^40
-        sh = (jnp.maximum(-q, 0) * _I(LIMB_BITS)).astype(_I64)
-        vj = jnp.where(sh > _I64(LIMB_BITS + 19), _I64(0),
-                       vj >> jnp.minimum(sh, _I64(62)))
-        abs_limbs = abs_limbs + jnp.where(
-            qs == jnp.maximum(q, _I(0)), vj, _I64(0))
-    return abs_limbs, bad
+    return rel_limbs_to_abs_limbs(rel, p0, DOT_FORMAT), bad

@@ -262,34 +262,14 @@ def sum_acc_limbs_mxu(hi2, lo2, e_anchor, nwa: int = 3):
     """Exact sum as ABSOLUTE SUM_FORMAT limbs (the distributed wire
     format): returns (limbs int64 (L_SUM,), bad).
 
-    The relative digits are canonicalized, sign-magnitude shifted into
-    the absolute frame (rel bit 0 = absolute bit p0 = e_anchor + 1 -
-    32*nwa + offset), and deposited with masked broadcasts.  Every
-    covered element is a multiple of 2^-1074 = absolute bit 0, so
-    canonical digits entirely below bit 0 are zero and at most one digit
-    straddles it (folded with an exact right shift).
+    The relative digits are shifted into the absolute frame (rel bit 0 =
+    absolute bit p0 = e_anchor + 1 - 32*nwa + offset); every covered
+    element is a multiple of 2^-1074 = absolute bit 0, so the shift is
+    exact (see core.rounding.rel_limbs_to_abs_limbs).
     """
-    from ...core.rounding import negate_digits
+    from ...core.rounding import rel_limbs_to_abs_limbs
     from ...core.types import SUM_FORMAT
 
-    w_a = 32 * nwa
     rel, bad = _sum_rel_limbs(hi2, lo2, e_anchor, nwa)
-    digits, negative = canonicalize_digits(rel[None, :])
-    mag = jnp.where(negative[:, None], negate_digits(digits), digits)[0]
-    sgn = jnp.where(negative[0], _I64(-1), _I64(1))
-
-    p0 = e_anchor + _I(1) - _I(w_a) + _I(SUM_FORMAT.offset_bits)
-    q0 = p0 // _I(LIMB_BITS)
-    rb = (p0 - q0 * _I(LIMB_BITS)).astype(_I64)
-    L = SUM_FORMAT.n_limbs
-    qs = jnp.arange(L, dtype=_I)
-    abs_limbs = jnp.zeros((L,), _I64)
-    for j in range(rel.shape[0]):
-        q = q0 + _I(j)
-        vj = (mag[j].astype(_I64) << rb) * sgn          # |vj| < 2^40
-        sh = (jnp.maximum(-q, 0) * _I(LIMB_BITS)).astype(_I64)
-        vj = jnp.where(sh > _I64(LIMB_BITS + 19), _I64(0),
-                       vj >> jnp.minimum(sh, _I64(62)))
-        abs_limbs = abs_limbs + jnp.where(
-            qs == jnp.maximum(q, _I(0)), vj, _I64(0))
-    return abs_limbs, bad
+    p0 = e_anchor + _I(1) - _I(32 * nwa) + _I(SUM_FORMAT.offset_bits)
+    return rel_limbs_to_abs_limbs(rel, p0, SUM_FORMAT), bad

@@ -357,6 +357,14 @@ def main():
     args = ap.parse_args()
 
     impl = args.impl
+    if impl == "xla":
+        # Pin to host CPU BEFORE anything touches a backend: the axon TPU
+        # plugin ignores the JAX_PLATFORMS env var (sitecustomize forces
+        # it) and its init hangs for ~14 min when the tunnel is down.
+        # jax.config wins over the env override (same as tests/conftest.py).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if impl is None:
         import jax
 
