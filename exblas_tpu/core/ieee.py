@@ -93,6 +93,38 @@ def join_f64(bits: F64Bits) -> np.ndarray:
     return bits.to_numpy()
 
 
+@jax.jit
+def _transpose_pair(hi, lo):
+    return hi.T, lo.T
+
+
+def transpose_bits(bits: F64Bits) -> F64Bits:
+    """Device-side transpose of a 2-D bit-pair matrix.
+
+    The trans='T' paths used to take numpy ``.T`` views at the API
+    boundary; feeding those to a jit triggers a single-threaded host
+    re-layout copy (~0.75 s per 256 MB uint32 plane at 8192^2).  Shipping
+    the original contiguous planes and transposing on-device rides HBM
+    instead (~ms), and on the CPU backend XLA's multithreaded transpose
+    still beats numpy's.
+    """
+    hi, lo = _transpose_pair(jnp.asarray(bits.hi), jnp.asarray(bits.lo))
+    return F64Bits(hi=hi, lo=lo)
+
+
+@jax.jit
+def _flip2_pair(hi, lo):
+    return hi[::-1, ::-1], lo[::-1, ::-1]
+
+
+def flip2_bits(bits: F64Bits) -> F64Bits:
+    """Device-side both-axes reversal of a 2-D bit-pair matrix (the
+    upper->lower TRSV mapping); same host-copy rationale as
+    ``transpose_bits``."""
+    hi, lo = _flip2_pair(jnp.asarray(bits.hi), jnp.asarray(bits.lo))
+    return F64Bits(hi=hi, lo=lo)
+
+
 def decode_fields(hi, lo):
     """Decode (hi, lo) uint32 -> (sign, expfield, mant_hi21, mant_lo32).
 

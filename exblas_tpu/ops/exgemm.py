@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core import deposit as dep
 from ..core.f64ops import f64_mul
-from ..core.ieee import F64Bits, split_f64
+from ..core.ieee import F64Bits, split_f64, transpose_bits
 from ..core.types import DOT_FORMAT
 from .exgemv import round_rows, _scalar_bits
 
@@ -311,9 +311,9 @@ def exgemm_bits(transa: str, transb: str, alpha: float, a, b,
     ab = split_f64(a)
     bb = split_f64(b)
     if transa.upper() == "T":
-        ab = F64Bits(hi=ab.hi.T, lo=ab.lo.T)
+        ab = transpose_bits(ab)
     if transb.upper() == "T":
-        bb = F64Bits(hi=bb.hi.T, lo=bb.lo.T)
+        bb = transpose_bits(bb)
     m, k = ab.hi.shape
     k2, n = bb.hi.shape
     if k != k2:

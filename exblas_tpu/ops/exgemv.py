@@ -30,7 +30,7 @@ import numpy as np
 
 from ..core import deposit as dep
 from ..core.f64ops import f64_mul
-from ..core.ieee import F64Bits, split_f64
+from ..core.ieee import F64Bits, split_f64, transpose_bits
 from ..core.rounding import round_digits_to_f64_bits, canonicalize_digits
 from ..core.rounding import QNAN_BITS, NINF_BITS, PINF_BITS
 from ..core.types import DOT_FORMAT
@@ -322,7 +322,7 @@ def exgemv_bits(trans: str, alpha: float, a, x, beta: float = 0.0, y=None,
         raise ValueError(f"exgemv: trans must be 'N' or 'T', got {trans!r}")
     m, n = ab.hi.shape
     if trans == "T":
-        ab = F64Bits(hi=ab.hi.T, lo=ab.lo.T)
+        ab = transpose_bits(ab)
         m, n = n, m
     if incx != 1:
         xb = split_f64(_apply_inc(x, n, incx, "exgemv x"))

@@ -39,7 +39,7 @@ import numpy as np
 
 from ..core import deposit as dep
 from ..core.f64ops import f64_div
-from ..core.ieee import F64Bits, split_f64
+from ..core.ieee import F64Bits, flip2_bits, split_f64, transpose_bits
 from ..core.types import DOT_FORMAT, LIMB_BITS
 from .exgemv import round_rows
 
@@ -245,11 +245,11 @@ def extrsv_bits(uplo: str, trans: str, diag: str, a, b, fpe: int = 3,
         raise ValueError(f"extrsv: a must be ({n}, {n})")
 
     if trans == "T":
-        ab = F64Bits(hi=ab.hi.T, lo=ab.lo.T)
+        ab = transpose_bits(ab)
         uplo = "U" if uplo == "L" else "L"
     if uplo == "U":
         # Solve upper by reversing: (P T P) is lower with P the flip.
-        ab = F64Bits(hi=ab.hi[::-1, ::-1], lo=ab.lo[::-1, ::-1])
+        ab = flip2_bits(ab)
         bb = F64Bits(hi=bb.hi[::-1], lo=bb.lo[::-1])
 
     if impl is None:
