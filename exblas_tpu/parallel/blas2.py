@@ -37,12 +37,18 @@ def _local_rows_acc(a_hi, a_lo, z_hi, z_lo, impl: str):
 
 def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
                    axis: str = AXIS, shard: str = "rows",
-                   impl: str | None = None):
-    """Reproducible y = alpha*A@x over a device mesh -> f64 bits (uint64).
+                   impl: str | None = None, beta: float = 0.0, y=None):
+    """Reproducible y = alpha*A@x + beta*y over a device mesh -> bits.
 
     shard="rows": A row-sharded, y sharded (gathered on return).
     shard="k":    A column-sharded, exact limb psum across devices.
+    beta handling mirrors the single-chip routine (exact deposit of y for
+    beta == 1, exact 106-bit beta*y product otherwise) and happens exactly
+    once per output row -- on the row's owner (rows) or replicated after
+    the merge (k) -- so the mesh cannot change a bit.
     """
+    from ..ops.exgemv import _apply_beta_rows, _scalar_bits
+
     mesh = mesh or make_mesh()
     nd = mesh.devices.size
     if impl is None:
@@ -59,6 +65,16 @@ def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
     z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
     z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
 
+    beta_mode = "zero" if (beta == 0.0 or y is None) else (
+        "one" if beta == 1.0 else "general")
+    bh, bl = _scalar_bits(beta)
+    if beta_mode != "zero":
+        yb = split_f64(np.asarray(y, np.float64))
+        if yb.hi.shape != (m,):
+            raise ValueError(f"exgemv_sharded: y must have shape ({m},)")
+    else:
+        yb = split_f64(np.zeros((m,)))
+
     if shard == "rows":
         if m % nd:
             raise ValueError(f"m={m} must divide the mesh size {nd}")
@@ -67,46 +83,52 @@ def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
             # each device owns complete rows, so the full single-device
             # auto dispatch (MXU byte-plane ladder + VPU fallback) applies
             # per shard -- multi-chip GEMV runs at MXU speed
-            from ..ops.exgemv import _gemv_bits_auto, _scalar_bits
+            from ..ops.exgemv import _gemv_bits_auto
 
             one_h, one_l = _scalar_bits(1.0)   # alpha already folded into z
-            zero_h, zero_l = _scalar_bits(0.0)
 
             @partial(jax.shard_map, mesh=mesh,
-                     in_specs=(P(axis), P(axis), P(), P()),
+                     in_specs=(P(axis), P(axis), P(), P(),
+                               P(axis), P(axis)),
                      out_specs=P(axis), check_vma=False)
-            def run(a_hi, a_lo, z_hi, z_lo):
-                yz = jnp.zeros((a_hi.shape[0],), jnp.uint32)
+            def run(a_hi, a_lo, z_hi, z_lo, y_hi, y_lo):
                 return _gemv_bits_auto(a_hi, a_lo, z_hi, z_lo,
-                                       one_h, one_l, zero_h, zero_l,
-                                       yz, yz, "zero", 128)
+                                       one_h, one_l, bh, bl,
+                                       y_hi, y_lo, beta_mode, 128)
 
-            return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo)
+            return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)
 
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P(axis), P(axis), P(), P()),
+                 in_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis)),
                  out_specs=P(axis), check_vma=False)
-        def run(a_hi, a_lo, z_hi, z_lo):
+        def run(a_hi, a_lo, z_hi, z_lo, y_hi, y_lo):
             limbs, special = _local_rows_acc(a_hi, a_lo, z_hi, z_lo, impl)
+            limbs, special = _apply_beta_rows(limbs, special, bh, bl,
+                                              y_hi, y_lo, beta_mode)
             return round_rows(limbs, special)
 
-        return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo)
+        return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)
 
     elif shard == "k":
         if n % nd:
             raise ValueError(f"n={n} must divide the mesh size {nd}")
 
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
+                 in_specs=(P(None, axis), P(None, axis), P(axis), P(axis),
+                           P(), P()),
                  out_specs=P(), check_vma=False)
-        def run(a_hi, a_lo, z_hi, z_lo):
+        def run(a_hi, a_lo, z_hi, z_lo, y_hi, y_lo):
             limbs, special = _local_rows_acc(a_hi, a_lo, z_hi, z_lo, impl)
             # exact cross-device merge of per-row accumulators
             limbs = jax.lax.psum(limbs, axis)
             special = jax.lax.psum(special, axis)
+            # beta deposit AFTER the merge, replicated: every device does
+            # the identical exact deposit, so the output stays replicated
+            limbs, special = _apply_beta_rows(limbs, special, bh, bl,
+                                              y_hi, y_lo, beta_mode)
             return round_rows(limbs, special)
 
-        return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo)
+        return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)
     raise ValueError(f"unknown shard strategy {shard!r}")
 
 
@@ -116,14 +138,18 @@ def make_mesh_2d(shape, axes=("rows", "k")) -> Mesh:
     return Mesh(devs, axes)
 
 
-def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None):
-    """Reproducible y = alpha*A@x over a 2-D (rows, k) mesh.
+def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
+                      beta: float = 0.0, y=None):
+    """Reproducible y = alpha*A@x + beta*y over a 2-D (rows, k) mesh.
 
     A is sharded over both axes; per-device partial accumulators are merged
-    with an exact limb psum over the reduction axis, rows stay sharded.
+    with an exact limb psum over the reduction axis, rows stay sharded; the
+    exact beta*y deposit happens after the merge on the row's owners.
     Bit-identical for every mesh shape (the 2-D analog of the reference's
     partition-invariance claim).
     """
+    from ..ops.exgemv import _apply_beta_rows, _scalar_bits
+
     mesh = mesh or make_mesh_2d((1, len(jax.devices())))
     impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     row_ax, k_ax = mesh.axis_names
@@ -141,16 +167,30 @@ def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None):
     z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
     z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
 
+    beta_mode = "zero" if (beta == 0.0 or y is None) else (
+        "one" if beta == 1.0 else "general")
+    bh, bl = _scalar_bits(beta)
+    if beta_mode != "zero":
+        yb = split_f64(np.asarray(y, np.float64))
+        if yb.hi.shape != (m,):
+            raise ValueError(f"exgemv_sharded_2d: y must be ({m},)")
+    else:
+        yb = split_f64(np.zeros((m,)))
+
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(row_ax, k_ax), P(row_ax, k_ax), P(k_ax), P(k_ax)),
+             in_specs=(P(row_ax, k_ax), P(row_ax, k_ax), P(k_ax), P(k_ax),
+                       P(row_ax), P(row_ax)),
              out_specs=P(row_ax), check_vma=False)
-    def run(a_hi, a_lo, z_hi, z_lo):
+    def run(a_hi, a_lo, z_hi, z_lo, y_hi, y_lo):
         limbs, special = _local_rows_acc(a_hi, a_lo, z_hi, z_lo, impl)
         limbs = jax.lax.psum(limbs, k_ax)
         special = jax.lax.psum(special, k_ax)
+        # replicated over k_ax: identical exact deposit on every k peer
+        limbs, special = _apply_beta_rows(limbs, special, bh, bl,
+                                          y_hi, y_lo, beta_mode)
         return round_rows(limbs, special)
 
-    return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo)
+    return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)
 
 
 def _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl: str):

@@ -175,7 +175,22 @@ def run_case(idx: int, campaign_seed: int, nd_max: int) -> str:
                                      mesh=make_mesh(meshes[-1]),
                                      shard="rows", impl="xla"))
         assert (got_p == res[0]).all(), f"{label}: k-permuted differs"
-        return label + f" {m}x{k} alpha={alpha}"
+        # beta extension (draws appended at the end: earlier draws --
+        # and so the recorded seed-20260825 replays -- are unchanged)
+        beta = [1.0, -2.25][int(rng.randint(2))]
+        yv = gen_vector("fpuniform_large", m, rng)
+        kw = dict(alpha=alpha, beta=beta, y=yv, impl="xla")
+        nd = meshes[-1]
+        rb = [_bits(exgemv_sharded(a, xv, mesh=make_mesh(nd),
+                                   shard=s, **kw)) for s in ("rows", "k")]
+        rb.append(_bits(exgemv_sharded_2d(
+            a, xv, alpha, mesh=make_mesh_2d(_factor_2d(rng, nd)),
+            beta=beta, y=yv)))
+        rb.append(_bits(exgemv_sharded(a, xv, mesh=make_mesh(1),
+                                       shard="rows", **kw)))
+        for r in rb[1:]:
+            assert (r == rb[0]).all(), f"{label}: beta={beta} bits differ"
+        return label + f" {m}x{k} alpha={alpha} beta={beta}"
 
     # exgemm
     lcm = int(np.lcm.reduce(meshes))

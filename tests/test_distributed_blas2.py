@@ -23,6 +23,28 @@ def test_exgemv_sharded_mesh_invariance(shard, nd):
     assert (got.view(np.uint64) == want.view(np.uint64)).all(), (shard, nd)
 
 
+@pytest.mark.parametrize("shard", ["rows", "k"])
+@pytest.mark.parametrize("beta", [1.0, -2.5])
+def test_exgemv_sharded_beta_mesh_invariance(shard, beta):
+    """beta*y deposited exactly once per output row on any mesh/sharding
+    (owner deposit for rows, replicated post-merge deposit for k)."""
+    from exblas_tpu.parallel import exgemv_sharded_2d, make_mesh_2d
+
+    m, n = 32, 64
+    a = xb.init_fpuniform_matrix(m, n, 30, 0, seed=65)
+    x = xb.init_fpuniform(n, 30, 0, seed=66)
+    y = xb.init_fpuniform(m, 35, -5, seed=67)
+    want = xb.exgemv("N", -0.75, a, x, beta=beta, y=y, impl="xla")
+    for nd in (1, 4, 8):
+        got = _f(exgemv_sharded(a, x, alpha=-0.75, beta=beta, y=y,
+                                mesh=make_mesh(nd), shard=shard,
+                                impl="xla"))
+        assert (got.view(np.uint64) == want.view(np.uint64)).all(), nd
+    got2 = _f(exgemv_sharded_2d(a, x, alpha=-0.75, beta=beta, y=y,
+                                mesh=make_mesh_2d((2, 4))))
+    assert (got2.view(np.uint64) == want.view(np.uint64)).all()
+
+
 @pytest.mark.parametrize("nd", [1, 4])
 def test_exgemm_sharded_mesh_invariance(nd):
     m = k = n = 16
