@@ -81,30 +81,37 @@ def _gemm_bits_jit(a_hi, a_lo, b_hi, b_lo, alpha_hi, alpha_lo,
         return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
 
     limbs, special = gemm_acc_xla(z_hi, z_lo, b_hi, b_lo)
+    limbs, special = apply_beta_gemm(limbs, special, beta_hi, beta_lo,
+                                     c_hi, c_lo, beta_mode)
+    bits = round_rows(limbs, special)
+    return bits.reshape(a_hi.shape[0], b_hi.shape[1])
 
-    m, n = a_hi.shape[0], b_hi.shape[1]
+
+def apply_beta_gemm(limbs, special, beta_hi, beta_lo, c_hi, c_lo,
+                    beta_mode: str):
+    """Deposit the exact beta*C term into per-element (m*n, L) limb
+    accumulators: C exactly for beta == 1, the exact 106-bit product
+    otherwise (the XLA-level analog of the Pallas kernel's in-kernel
+    beta deposit; reference EFT beta cases, ExGEMV.Superacc.cl:259-293)."""
     if beta_mode == "one":
         from .exgemv import deposit_terms_rows
 
-        limbs, special = deposit_terms_rows(
+        return deposit_terms_rows(
             limbs, special, c_hi.reshape(-1), c_lo.reshape(-1))
-    elif beta_mode == "general":
-        from .exgemv import deposit_terms_rows
-
+    if beta_mode == "general":
         # exact 106-bit product beta*c via a product deposit per element
+        mn = limbs.shape[0]
         L = DOT_FORMAT.n_limbs
         t = dep.product_terms(
             jnp.broadcast_to(beta_hi, c_hi.shape).reshape(-1),
             jnp.broadcast_to(beta_lo, c_lo.shape).reshape(-1),
             c_hi.reshape(-1), c_lo.reshape(-1), DOT_FORMAT.offset_bits)
-        row_ids = jnp.arange(m * n, dtype=jnp.int32)
+        row_ids = jnp.arange(mn, dtype=jnp.int32)
         limbs = dep.segment_deposit_products(
-            limbs.reshape(-1), t, row_ids * L, L).reshape(m * n, L)
+            limbs.reshape(-1), t, row_ids * L, L).reshape(mn, L)
         special = special + jnp.stack([t["nan"], t["pinf"], t["ninf"]],
                                       axis=-1)
-
-    bits = round_rows(limbs, special)
-    return bits.reshape(m, n)
+    return limbs, special
 
 
 def _validate_fpe(fpe: int):

@@ -193,47 +193,91 @@ def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
     return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)
 
 
-def _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl: str):
-    """Exact C = A@B bits for one device-local block."""
+def _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl: str, c_hi=None,
+                     c_lo=None, beta_hi=None, beta_lo=None,
+                     beta_mode: str = "zero"):
+    """Exact C = beta*C + A@B bits for one device-local block (alpha is
+    folded into A by the callers, matching the single-chip routine)."""
+    if c_hi is None:
+        c_hi = c_lo = jnp.zeros((a_hi.shape[0], b_hi.shape[1]), jnp.uint32)
+    if beta_hi is None:
+        beta_hi = beta_lo = jnp.uint32(0)
     if impl == "pallas":
         from ..ops.kernels.gemm_kernel import gemm_bits_pallas
 
-        z = jnp.zeros((a_hi.shape[0], b_hi.shape[1]), jnp.uint32)
-        hi, lo = gemm_bits_pallas(a_hi, a_lo, b_hi, b_lo, z, z,
-                                  jnp.uint32(0), jnp.uint32(0), "zero")
+        hi, lo = gemm_bits_pallas(a_hi, a_lo, b_hi, b_lo, c_hi, c_lo,
+                                  beta_hi, beta_lo, beta_mode)
         return (hi.astype(_U64) << _U64(32)) | lo.astype(_U64)
-    from ..ops.exgemm import gemm_acc_xla
+    from ..ops.exgemm import apply_beta_gemm, gemm_acc_xla
 
     limbs, special = gemm_acc_xla(a_hi, a_lo, b_hi, b_lo)
+    limbs, special = apply_beta_gemm(limbs, special, beta_hi, beta_lo,
+                                     c_hi, c_lo, beta_mode)
     return round_rows(limbs, special).reshape(
         a_hi.shape[0], b_hi.shape[1])
 
 
+def _gemm_operands(a, b, alpha, beta, c):
+    """Shared host-side prep for the sharded GEMM wrappers: bit planes,
+    fl(alpha*A) scalar bits, beta mode, and a (possibly zero) C plane."""
+    from ..ops.exgemv import _scalar_bits
+
+    ab = split_f64(np.asarray(a, np.float64))
+    bb = split_f64(np.asarray(b, np.float64))
+    m = ab.hi.shape[0]
+    n = bb.hi.shape[1]
+    beta_mode = "zero" if (beta == 0.0 or c is None) else (
+        "one" if beta == 1.0 else "general")
+    bh, bl = _scalar_bits(beta)
+    ah, al = _scalar_bits(alpha)
+    if beta_mode != "zero":
+        cb = split_f64(np.asarray(c, np.float64))
+        if cb.hi.shape != (m, n):
+            raise ValueError(f"c must have shape ({m}, {n})")
+    else:
+        cb = split_f64(np.zeros((m, n)))
+    return ab, bb, cb, (ah, al), (bh, bl), beta_mode
+
+
+def _alpha_fold(a_hi, a_lo, ah, al):
+    """z = fl(alpha * A) elementwise on the local shard (one correctly
+    rounded multiply per element -- the single-chip semantics)."""
+    zbits = f64_mul(jnp.broadcast_to(ah, a_hi.shape),
+                    jnp.broadcast_to(al, a_lo.shape), a_hi, a_lo)
+    return ((zbits >> _U64(32)).astype(jnp.uint32),
+            (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32))
+
+
 def exgemm_sharded(a, b, mesh: Mesh | None = None, axis: str = AXIS,
-                   impl: str | None = None):
-    """Reproducible C = A@B with A row-sharded over the mesh -> bits (m, n)."""
+                   impl: str | None = None, alpha: float = 1.0,
+                   beta: float = 0.0, c=None):
+    """Reproducible C = beta*C + alpha*A@B with A (and C) row-sharded
+    over the mesh -> bits (m, n)."""
     mesh = mesh or make_mesh()
     nd = mesh.devices.size
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    ab = split_f64(np.asarray(a, np.float64))
-    bb = split_f64(np.asarray(b, np.float64))
+    ab, bb, cb, (ah, al), (bh, bl), beta_mode = _gemm_operands(
+        a, b, alpha, beta, c)
     m = ab.hi.shape[0]
     if m % nd:
         raise ValueError(f"m={m} must divide the mesh size {nd}")
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(axis), P(axis), P(), P()),
+             in_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis)),
              out_specs=P(axis), check_vma=False)
-    def run(a_hi, a_lo, b_hi, b_lo):
-        return _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl)
+    def run(a_hi, a_lo, b_hi, b_lo, c_hi, c_lo):
+        z_hi, z_lo = _alpha_fold(a_hi, a_lo, ah, al)
+        return _local_gemm_bits(z_hi, z_lo, b_hi, b_lo, impl,
+                                c_hi, c_lo, bh, bl, beta_mode)
 
-    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)
+    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo, cb.hi, cb.lo)
 
 
 def exgemm_sharded_2d(a, b, mesh: Mesh | None = None,
-                      impl: str | None = None):
-    """Reproducible C = A@B over a 2-D (rows, cols) mesh.
+                      impl: str | None = None, alpha: float = 1.0,
+                      beta: float = 0.0, c=None):
+    """Reproducible C = beta*C + alpha*A@B over a 2-D (rows, cols) mesh.
 
     The classic tensor-parallel BLAS-3 layout: A row-sharded, B
     column-sharded, C block-sharded on return; k stays on-device so each
@@ -246,8 +290,8 @@ def exgemm_sharded_2d(a, b, mesh: Mesh | None = None,
     row_ax, col_ax = mesh.axis_names
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    ab = split_f64(np.asarray(a, np.float64))
-    bb = split_f64(np.asarray(b, np.float64))
+    ab, bb, cb, (ah, al), (bh, bl), beta_mode = _gemm_operands(
+        a, b, alpha, beta, c)
     m = ab.hi.shape[0]
     n = bb.hi.shape[1]
     if m % mesh.shape[row_ax] or n % mesh.shape[col_ax]:
@@ -256,43 +300,54 @@ def exgemm_sharded_2d(a, b, mesh: Mesh | None = None,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(row_ax), P(row_ax), P(None, col_ax),
-                       P(None, col_ax)),
+                       P(None, col_ax), P(row_ax, col_ax),
+                       P(row_ax, col_ax)),
              out_specs=P(row_ax, col_ax), check_vma=False)
-    def run(a_hi, a_lo, b_hi, b_lo):
-        return _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl)
+    def run(a_hi, a_lo, b_hi, b_lo, c_hi, c_lo):
+        z_hi, z_lo = _alpha_fold(a_hi, a_lo, ah, al)
+        return _local_gemm_bits(z_hi, z_lo, b_hi, b_lo, impl,
+                                c_hi, c_lo, bh, bl, beta_mode)
 
-    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)
+    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo, cb.hi, cb.lo)
 
 
-def exgemm_sharded_k(a, b, mesh: Mesh | None = None, axis: str = AXIS):
-    """Reproducible C = A@B with the k (reduction) axis sharded.
+def exgemm_sharded_k(a, b, mesh: Mesh | None = None, axis: str = AXIS,
+                     alpha: float = 1.0, beta: float = 0.0, c=None):
+    """Reproducible C = beta*C + alpha*A@B with the k (reduction) axis
+    sharded.
 
     Each device deposits its k-slice of products into exact per-element
     limb accumulators; an integer ``psum`` merges them (the BLAS-3 analog
-    of the reference's limb-wise MPI_Reduce) and one rounding finishes.
-    Mesh size cannot change a bit by construction.  Uses the XLA
-    accumulator path (the Pallas GEMM kernels round in-kernel and so have
-    no pre-round limb output); intended as the decomposition-invariance
+    of the reference's limb-wise MPI_Reduce), the exact beta*C deposit
+    runs replicated after the merge, and one rounding finishes.  Mesh
+    size cannot change a bit by construction.  Uses the XLA accumulator
+    path (the Pallas GEMM kernels round in-kernel and so have no
+    pre-round limb output); intended as the decomposition-invariance
     anchor, not a throughput path -- shard rows/cols for speed.
     """
     mesh = mesh or make_mesh()
     nd = mesh.devices.size
-    ab = split_f64(np.asarray(a, np.float64))
-    bb = split_f64(np.asarray(b, np.float64))
+    ab, bb, cb, (ah, al), (bh, bl), beta_mode = _gemm_operands(
+        a, b, alpha, beta, c)
     m, k = ab.hi.shape
     n = bb.hi.shape[1]
     if k % nd:
         raise ValueError(f"k={k} must divide the mesh size {nd}")
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
+             in_specs=(P(None, axis), P(None, axis), P(axis), P(axis),
+                       P(), P()),
              out_specs=P(), check_vma=False)
-    def run(a_hi, a_lo, b_hi, b_lo):
-        from ..ops.exgemm import gemm_acc_xla
+    def run(a_hi, a_lo, b_hi, b_lo, c_hi, c_lo):
+        from ..ops.exgemm import apply_beta_gemm, gemm_acc_xla
 
-        limbs, special = gemm_acc_xla(a_hi, a_lo, b_hi, b_lo)
+        z_hi, z_lo = _alpha_fold(a_hi, a_lo, ah, al)
+        limbs, special = gemm_acc_xla(z_hi, z_lo, b_hi, b_lo)
         limbs = jax.lax.psum(limbs, axis)
         special = jax.lax.psum(special, axis)
+        # replicated exact beta*C deposit: identical on every device
+        limbs, special = apply_beta_gemm(limbs, special, bh, bl,
+                                         c_hi, c_lo, beta_mode)
         return round_rows(limbs, special).reshape(m, n)
 
-    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)
+    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo, cb.hi, cb.lo)

@@ -217,7 +217,23 @@ def run_case(idx: int, campaign_seed: int, nd_max: int) -> str:
     got_p = _bits(exgemm_sharded(a[:, p], b[p, :],
                                  mesh=make_mesh(meshes[-1]), impl="xla"))
     assert (got_p == res[0]).all(), f"{label}: k-permuted differs"
-    return label + f" {m}x{k}x{n2}"
+    # alpha/beta extension (draws appended: recorded replays unchanged)
+    alpha = [1.0, -0.5][int(rng.randint(2))]
+    beta = [1.0, 3.25][int(rng.randint(2))]
+    cm = gen_vector("fpuniform_large", m * n2, rng).reshape(m, n2)
+    kw = dict(alpha=alpha, beta=beta, c=cm)
+    nd = meshes[-1]
+    rb = [_bits(exgemm_sharded(a, b, mesh=make_mesh(nd), impl="xla", **kw)),
+          _bits(exgemm_sharded_k(a, b, mesh=make_mesh(nd), **kw)),
+          _bits(exgemm_sharded_2d(a, b, impl="xla",
+                                  mesh=make_mesh_2d(_factor_2d(rng, nd),
+                                                    ("rows", "cols")),
+                                  **kw)),
+          _bits(exgemm_sharded(a, b, mesh=make_mesh(1), impl="xla", **kw))]
+    for r in rb[1:]:
+        assert (r == rb[0]).all(), (
+            f"{label}: alpha={alpha} beta={beta} bits differ")
+    return label + f" {m}x{k}x{n2} alpha={alpha} beta={beta}"
 
 
 def main(args) -> int:

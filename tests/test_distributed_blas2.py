@@ -56,6 +56,33 @@ def test_exgemm_sharded_mesh_invariance(nd):
             == want.view(np.uint64)).all(), nd
 
 
+@pytest.mark.parametrize("beta", [1.0, -2.5])
+def test_exgemm_sharded_alpha_beta_mesh_invariance(beta):
+    """alpha folded per shard, exact beta*C deposited exactly once per
+    element (owner for rows/2-D, replicated post-merge for k)."""
+    from exblas_tpu.parallel import (exgemm_sharded_2d, exgemm_sharded_k,
+                                     make_mesh_2d)
+
+    m, k, n = 16, 24, 16
+    a = xb.init_fpuniform_matrix(m, k, 25, 0, seed=71)
+    b = xb.init_fpuniform_matrix(k, n, 25, 0, seed=72)
+    c = xb.init_fpuniform_matrix(m, n, 35, -5, seed=73)
+    want = xb.exgemm("N", "N", -0.5, a, b, beta=beta, c=c, impl="xla")
+    for nd in (1, 4, 8):
+        got = _f(exgemm_sharded(a, b, mesh=make_mesh(nd), impl="xla",
+                                alpha=-0.5, beta=beta, c=c))
+        assert (got.reshape(m, n).view(np.uint64)
+                == want.view(np.uint64)).all(), nd
+        gk = _f(exgemm_sharded_k(a, b, mesh=make_mesh(nd),
+                                 alpha=-0.5, beta=beta, c=c))
+        assert (gk.reshape(m, n).view(np.uint64)
+                == want.view(np.uint64)).all(), nd
+    g2 = _f(exgemm_sharded_2d(a, b, mesh=make_mesh_2d((2, 4),
+                                                      ("rows", "cols")),
+                              impl="xla", alpha=-0.5, beta=beta, c=c))
+    assert (g2.reshape(m, n).view(np.uint64) == want.view(np.uint64)).all()
+
+
 @pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
 def test_exgemm_sharded_2d_mesh_shape_invariance(shape):
     from exblas_tpu.parallel import exgemm_sharded_2d, make_mesh_2d
