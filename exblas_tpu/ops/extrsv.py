@@ -90,6 +90,55 @@ def _neg(hi):
     return hi ^ jnp.uint32(0x80000000)
 
 
+def solve_diag_block(td_hi, td_lo, acc_blk, spec_blk, unit: bool):
+    """Solve one (block, block) lower-triangular diagonal block given the
+    rows' exact accumulator state (which already holds b minus every
+    deposit from columns left of the block).
+
+    Returns (xb_hi, xb_lo): x_i = Round(acc_i)/t_ii after the exact
+    within-block deposits -- the sequential heart of the spec solve,
+    shared by the single-chip XLA path and the sharded solver
+    (parallel/trsv.py), so their bits agree by construction.
+    """
+    block = td_hi.shape[0]
+    row_iota_b = jax.lax.broadcasted_iota(_I32, (block,), 0)
+    xb_hi = jnp.zeros((block,), jnp.uint32)
+    xb_lo = jnp.zeros((block,), jnp.uint32)
+
+    def inner(i, st):
+        acc_blk, spec_blk, xb_hi, xb_lo = st
+        row_l = jax.lax.dynamic_slice(acc_blk, (i, 0), (1, L))
+        row_s = jax.lax.dynamic_slice(spec_blk, (i, 0), (1, 3))
+        num = round_rows(row_l, row_s)[0]
+        nh = (num >> _U64(32)).astype(jnp.uint32)
+        nl = (num & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+        if unit:
+            xi_hi, xi_lo = nh, nl
+        else:
+            dh = jax.lax.dynamic_slice(td_hi, (i, i), (1, 1))[0, 0]
+            dl = jax.lax.dynamic_slice(td_lo, (i, i), (1, 1))[0, 0]
+            qb = f64_div(nh, nl, dh, dl)
+            xi_hi = (qb >> _U64(32)).astype(jnp.uint32)
+            xi_lo = (qb & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+        xb_hi = jax.lax.dynamic_update_index_in_dim(xb_hi, xi_hi, i, 0)
+        xb_lo = jax.lax.dynamic_update_index_in_dim(xb_lo, xi_lo, i, 0)
+        # acc_blk[j] -= td[j, i] * x_i for j > i
+        col_hi = jax.lax.dynamic_slice(td_hi, (0, i), (block, 1))[:, 0]
+        col_lo = jax.lax.dynamic_slice(td_lo, (0, i), (block, 1))[:, 0]
+        m = row_iota_b > i
+        col_hi = jnp.where(m, _neg(col_hi), jnp.uint32(0))
+        col_lo = jnp.where(m, col_lo, jnp.uint32(0))
+        acc_blk, spec_blk = _deposit_products_rows(
+            acc_blk, spec_blk, col_hi, col_lo,
+            jnp.broadcast_to(xi_hi, (block,)),
+            jnp.broadcast_to(xi_lo, (block,)))
+        return acc_blk, spec_blk, xb_hi, xb_lo
+
+    _, _, xb_hi, xb_lo = jax.lax.fori_loop(
+        0, block, inner, (acc_blk, spec_blk, xb_hi, xb_lo))
+    return xb_hi, xb_lo
+
+
 @partial(jax.jit, static_argnames=("unit", "block", "impl"))
 def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int,
                     impl: str = "xla"):
@@ -101,57 +150,21 @@ def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int,
     x_lo = jnp.zeros((n,), jnp.uint32)
 
     row_iota_n = jax.lax.broadcasted_iota(_I32, (n,), 0)
-    row_iota_b = jax.lax.broadcasted_iota(_I32, (block,), 0)
 
     def outer(kb, state):
         acc, special, x_hi, x_lo = state
         base = kb * block
         acc_blk = jax.lax.dynamic_slice(acc, (base, 0), (block, L))
         spec_blk = jax.lax.dynamic_slice(special, (base, 0), (block, 3))
-        xb_hi = jnp.zeros((block,), jnp.uint32)
-        xb_lo = jnp.zeros((block,), jnp.uint32)
-
-        def inner(i, st):
-            acc_blk, spec_blk, xb_hi, xb_lo = st
-            row_l = jax.lax.dynamic_slice(acc_blk, (i, 0), (1, L))
-            row_s = jax.lax.dynamic_slice(spec_blk, (i, 0), (1, 3))
-            num = round_rows(row_l, row_s)[0]
-            nh = (num >> _U64(32)).astype(jnp.uint32)
-            nl = (num & _U64(0xFFFFFFFF)).astype(jnp.uint32)
-            if unit:
-                xi_hi, xi_lo = nh, nl
-            else:
-                # t_ii sits at (base+i, base+i): slice it dynamically
-                dh = jax.lax.dynamic_slice(
-                    t_hi, (base + i, base + i), (1, 1))[0, 0]
-                dl = jax.lax.dynamic_slice(
-                    t_lo, (base + i, base + i), (1, 1))[0, 0]
-                qb = f64_div(nh, nl, dh, dl)
-                xi_hi = (qb >> _U64(32)).astype(jnp.uint32)
-                xi_lo = (qb & _U64(0xFFFFFFFF)).astype(jnp.uint32)
-            xb_hi = jax.lax.dynamic_update_index_in_dim(xb_hi, xi_hi, i, 0)
-            xb_lo = jax.lax.dynamic_update_index_in_dim(xb_lo, xi_lo, i, 0)
-            # acc_blk[j] -= t[base+j, base+i] * x_i for j > i
-            col_hi = jax.lax.dynamic_slice(t_hi, (base, base + i),
-                                           (block, 1))[:, 0]
-            col_lo = jax.lax.dynamic_slice(t_lo, (base, base + i),
-                                           (block, 1))[:, 0]
-            m = row_iota_b > i
-            col_hi = jnp.where(m, _neg(col_hi), jnp.uint32(0))
-            col_lo = jnp.where(m, col_lo, jnp.uint32(0))
-            acc_blk, spec_blk = _deposit_products_rows(
-                acc_blk, spec_blk, col_hi, col_lo,
-                jnp.broadcast_to(xi_hi, (block,)),
-                jnp.broadcast_to(xi_lo, (block,)))
-            return acc_blk, spec_blk, xb_hi, xb_lo
-
-        acc_blk, spec_blk, xb_hi, xb_lo = jax.lax.fori_loop(
-            0, block, inner, (acc_blk, spec_blk, xb_hi, xb_lo))
+        td_hi = jax.lax.dynamic_slice(t_hi, (base, base), (block, block))
+        td_lo = jax.lax.dynamic_slice(t_lo, (base, base), (block, block))
+        xb_hi, xb_lo = solve_diag_block(td_hi, td_lo, acc_blk, spec_blk,
+                                        unit)
 
         x_hi = jax.lax.dynamic_update_slice(x_hi, xb_hi, (base,))
         x_lo = jax.lax.dynamic_update_slice(x_lo, xb_lo, (base,))
-        acc = jax.lax.dynamic_update_slice(acc, acc_blk, (base, 0))
-        special = jax.lax.dynamic_update_slice(special, spec_blk, (base, 0))
+        # (the solved block's own acc rows are never read again: trailing
+        # deposits only target rows >= base + block)
 
         # Trailing update: rows beyond this block get all B column deposits.
         tc_hi = jax.lax.dynamic_slice(t_hi, (0, base), (n, block))

@@ -83,6 +83,44 @@ def test_exgemm_sharded_alpha_beta_mesh_invariance(beta):
     assert (g2.reshape(m, n).view(np.uint64) == want.view(np.uint64)).all()
 
 
+@pytest.mark.parametrize("uplo,trans,diag", [
+    ("L", "N", "N"), ("U", "N", "U"), ("L", "T", "N"), ("U", "T", "N")])
+def test_extrsv_sharded_mesh_invariance(uplo, trans, diag):
+    """Sharded wavefront TRSV: same bits as the single-chip spec solve on
+    1/2/4/8-device meshes (the reference never distributes TRSV)."""
+    from exblas_tpu.parallel import extrsv_sharded
+
+    n = 48
+    rng = np.random.RandomState(83)
+    m0 = xb.init_fpuniform_matrix(n, n, 20, -10, seed=84)
+    a = np.tril(m0) if uplo == "L" else np.triu(m0)
+    idx = np.arange(n)
+    a[idx, idx] = rng.uniform(0.5, 2.0, n) * np.where(
+        rng.rand(n) < 0.5, -1.0, 1.0)
+    b = xb.init_fpuniform(n, 20, -10, seed=85)
+    want = xb.extrsv(uplo, trans, diag, a, b, impl="xla")
+    for nd in (1, 2, 4, 8):
+        got = np.asarray(extrsv_sharded(uplo, trans, diag, a, b,
+                                        mesh=make_mesh(nd)))
+        assert (got == want.view(np.uint64)).all(), nd
+
+
+def test_extrsv_sharded_zero_diag_inf():
+    """Zero diagonal -> Inf/NaN propagation matches single-chip bits."""
+    from exblas_tpu.parallel import extrsv_sharded
+
+    n = 16
+    a = np.tril(xb.init_fpuniform_matrix(n, n, 4, 0, seed=86))
+    idx = np.arange(n)
+    a[idx, idx] = 1.0
+    a[5, 5] = 0.0
+    b = xb.init_fpuniform(n, 4, 0, seed=87)
+    want = xb.extrsv("L", "N", "N", a, b, impl="xla").view(np.uint64)
+    got = np.asarray(extrsv_sharded("L", "N", "N", a, b,
+                                    mesh=make_mesh(4)))
+    assert (got == want).all()
+
+
 @pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
 def test_exgemm_sharded_2d_mesh_shape_invariance(shape):
     from exblas_tpu.parallel import exgemm_sharded_2d, make_mesh_2d
