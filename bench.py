@@ -121,4 +121,13 @@ if __name__ == "__main__":
     try:
         main()
     except Exception:
+        # A broken flagship path must never masquerade as a benchmark
+        # choice: log the failure loudly before reporting the fallback
+        # metric (still one JSON line on stdout for the driver).
+        import sys
+        import traceback
+
+        print("bench.py: FLAGSHIP GEMM PATH FAILED -- reporting the "
+              "ExSUM fallback metric instead. Traceback:", file=sys.stderr)
+        traceback.print_exc()
         fallback()
