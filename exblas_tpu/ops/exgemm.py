@@ -123,12 +123,20 @@ def _validate_fpe(fpe: int):
 # Jittable auto dispatch: MXU slice ladder with device-resident coverage
 # ---------------------------------------------------------------------------
 
-# (sa, sb) slice-count rungs, ordered by matmul cost sa*sb; the cheapest
-# pair with spread_a <= 8*sa and spread_b <= 8*sb (and beta*c coverage)
-# wins.  Asymmetric pairs serve mixed-spread operands: narrow A x wide B
-# runs (8, 12) = 96 products instead of the symmetric 144.
+# (sa, sb) slice-count rungs, ordered by matmul cost (sa+1)*(sb+1); the
+# cheapest pair with spread_a <= 8*sa and spread_b <= 8*sb (and beta*c
+# coverage) wins.  Asymmetric pairs serve mixed-spread operands: narrow
+# A x wide B runs (8, 12) = 117 products instead of the symmetric 169.
+# The wide rungs (20..32 slices = 160..256 anchored bits per side) are
+# the round-3 dynamic-range extension: cost grows as the product of the
+# slice counts -- the information-theoretic floor for a dense byte-slice
+# decomposition (each side needs spread/8 byte planes and every plane
+# pair is a distinct exact int8 matmul) -- so e.g. ill-conditioned data
+# at c=1e50 (spread ~137-166 bits) runs the (20, 20) or (24, 24) rung at
+# ~1/5 the covered-data rate instead of falling ~500x to the VPU kernel.
 _MXU_LADDER = ((8, 8), (8, 12), (12, 8), (8, 16), (16, 8),
-               (12, 12), (12, 16), (16, 12), (16, 16))
+               (12, 12), (12, 16), (16, 12), (16, 16),
+               (16, 20), (20, 16), (20, 20), (24, 24), (28, 28), (32, 32))
 
 
 def _decode_indicators(hi, lo):

@@ -316,26 +316,43 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
     # of a full limb-split deposit.  int8 x int8 -> int32 matmuls run at
     # ~1.6x the bf16 rate on the MXU (measured 156 vs 98 Tmac/s), which
     # beats the (sa+1)(sb+1)/(sa*sb) extra-carry-digit cost at every rung.
-    # Class sums stay exact in int32: <= (min(sa, sb)+1) pairs x KT * 2^14
-    # < 2^26 per tile, x2 tiles < 2^27.
+    # Class sums stay exact in int32: <= (min(sa, sb)+1) pairs x run *
+    # 2^14 <= ~2^29.2 by the _spill_run sizing below.
     # pair-major order keeps a_s stationary in the MXU across the t loop
-    # (class-major register accumulation measured ~4% slower).
-    for s in range(sa + 1):
-        a_s = a_sl_ref[s]          # (128, KT) int8
-        for t in range(sb + 1):
-            b_t = b_sl_ref[t]      # (KT, 128) int8
-            m = jax.lax.dot_general(
-                a_s, b_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=_I)
-            cls[pl.ds((s + t) * LANES, LANES), :] += m
+    # (class-major register accumulation measured ~4% slower).  Wide
+    # rungs (the dynamic-range ladder extension) loop s dynamically:
+    # fully unrolling (sa+1)(sb+1) > ~300 matmuls made Mosaic compiles
+    # take minutes per rung with no runtime win (the matmul stream, not
+    # issue overhead, dominates at kt >= 256).
+    if (sa + 1) * (sb + 1) <= 300:
+        for s in range(sa + 1):
+            a_s = a_sl_ref[s]          # (128, KT) int8
+            for t in range(sb + 1):
+                b_t = b_sl_ref[t]      # (KT, 128) int8
+                m = jax.lax.dot_general(
+                    a_s, b_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=_I)
+                cls[pl.ds((s + t) * LANES, LANES), :] += m
+    else:
+        def s_body(s, carry):
+            a_s = a_sl_ref[s]          # (128, KT) int8, dynamic s
+            for t in range(sb + 1):
+                b_t = b_sl_ref[t]      # (KT, 128) int8
+                m = jax.lax.dot_general(
+                    a_s, b_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=_I)
+                cls[pl.ds((s + t) * LANES, LANES), :] += m
+            return carry
 
-    # every 2048 k-elements (and at the end): limb-split the n_cls class
-    # rows into the relative accumulator and renorm.  Bounds: class sums
-    # reach (min(sa,sb)+1) pairs x 2048 * 2^14 < 2^29.1 (sa=sb=16), so the
-    # spill split's high part h < 2^9.1 and each limb's per-spill gain
-    # (~3 p0 + ~3 up terms) stays < 2^30 against the int32 slack; renorm
-    # right after re-bounds the limbs.
-    period = max(1, 2048 // kt)
+        jax.lax.fori_loop(_I(0), _I(sa + 1), s_body, _I(0))
+
+    # every `run` k-elements (and at the end): limb-split the n_cls class
+    # rows into the relative accumulator and renorm.  The run length is
+    # sized so class sums stay < ~2^29.2 (see _spill_run), so the spill
+    # split's high part h < 2^9.2 and each limb's per-spill gain (~3 p0 +
+    # ~3 up terms) stays < 2^30 against the int32 slack; renorm right
+    # after re-bounds the limbs.
+    period = max(1, _spill_run(sa, sb) // kt)
     spill = jnp.logical_or(
         jnp.bitwise_and(kt_i + 1, _I(period - 1)) == 0,
         kt_i == pl.num_programs(2) - 1)
@@ -364,6 +381,17 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
         hi32, lo32 = _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0)
         yhi_out[...] = hi32
         ylo_out[...] = lo32
+
+
+def _spill_run(sa: int, sb: int) -> int:
+    """Largest power-of-2 spill-run length (k elements between limb
+    spills) keeping per-class int32 sums exact: a class accumulates
+    (min(sa, sb) + 1) digit pairs per k element, each |pair| <= 127*128
+    < 2^14, so |cls| <= (min+1) * run * 2^14 -- bounded at ~2^29.2 so the
+    spill split's high part stays < 2^9.2 (the original 2048-element run
+    at (16, 16) sat at exactly this bound)."""
+    allowed = 36000 // (min(sa, sb) + 1)          # run * (min+1) <= ~2^15.2
+    return max(256, 1 << (allowed.bit_length() - 1))
 
 
 def mxu_l_rel(sa: int, sb: int, beta_mode: str, k_pad: int) -> int:
@@ -398,15 +426,19 @@ def _pick_kt_bn(sa: int, sb: int, l_rel: int) -> tuple[int, int]:
     """(k-tile, out-block width) for a rung.  Bigger k-tiles amortize the
     per-pair cls adds (~1 VPU add per C element per pair per tile --
     measured 49.9 -> 43.8 ms at n=4096 going 256 -> 1024, and a further
-    48 -> 45.5 ms at kt=2048; the 2048-element spill run is unchanged:
-    period = max(1, 2048 // kt)); large rungs shrink the tile to stay
-    within ~14 MB of the ~16 MB/core VMEM (scratch + pipelined blocks).
-    bn=256 measured slightly slower than 128 at (8,8), so the width
-    stays 128."""
-    for kt in (2048, 1024, 512, 256):
-        if _vmem_estimate(sa, sb, l_rel, 128, kt) <= 14 * 2**20:
-            return kt, 128
-    return 128, 128
+    48 -> 45.5 ms at kt=2048); the tile never exceeds the spill run (the
+    int32 class-sum bound, _spill_run); large rungs shrink the tile and
+    then the output-block width to stay within ~14 MB of the ~16 MB/core
+    VMEM (scratch + pipelined blocks).  bn=256 measured slightly slower
+    than 128 at (8,8), so the width never grows past 128."""
+    run = _spill_run(sa, sb)
+    for kt, bn in ((2048, 128), (1024, 128), (512, 128), (256, 128),
+                   (512, 64), (256, 64), (128, 64)):
+        if kt > run:
+            continue
+        if _vmem_estimate(sa, sb, l_rel, bn, kt) <= 14 * 2**20:
+            return kt, bn
+    return 128, 64
 
 
 @functools.partial(jax.jit, static_argnames=("sa", "sb", "beta_mode"))
