@@ -151,10 +151,15 @@ def _validate_fpe(fpe: int):
 # Jittable auto dispatch: MXU byte-plane ladder with device-resident coverage
 # ---------------------------------------------------------------------------
 
-# (nwa, nwz) word counts: 64/96/128 anchored bits per side.  The ladder
-# picks the narrowest rung covering BOTH the per-row A spreads and the z
-# spread; data past 128 bits falls back to the exact VPU kernel.
-_GEMV_RUNGS = ((2, 2), (3, 3), (4, 4))
+# (nwa, nwz) word counts: 32*nwa / 32*nwz anchored bits per side.  The
+# ladder picks the narrowest rung covering BOTH the per-row A spreads and
+# the z spread; data past 256/192 bits falls back to the exact VPU
+# kernel.  Unlike GEMM (whose matmul count grows as the product of the
+# slice counts), GEMV stays VPU-decode/HBM-bound: the wide rungs cost
+# only extra word-slicing ops per element (~8/word + a log word-shifter),
+# so 256-bit data runs at a large fraction of the covered rate instead
+# of dropping to the VPU kernel (round-3 extension; was capped at 128).
+_GEMV_RUNGS = ((2, 2), (3, 3), (4, 4), (5, 4), (6, 5), (8, 6))
 
 
 def _gemv_special_rows(a_hi, a_lo, z_hi, z_lo):

@@ -63,9 +63,16 @@ SPILL_K = 32768
 SPILL_TILES = SPILL_K // KT
 
 # Total-k cap: a carry pass runs right after every spill, so per-spill
-# limb growth (<~ 2^29.5) can never accumulate; 128 spills are bounded by
-# the l_rel sizing (the `extra` bits in _rung_params), not by slack.
-MAX_K_MXU = 128 * SPILL_K
+# limb growth (<~ 2^29.5) can never accumulate.  1024 spills keep (a) the
+# whole-kept top limb row under ~2^10 incoming carry per spill -> < 2^21,
+# so the f32 byte-lane fold stays exact (operands < 2^22, 4-term sums
+# < 2^24 -- see _fold_byte_lanes), and (b) the sign-mask accumulator's
+# spilled high part |hi| <= k/128 < 2^18 (see the cacc hi/lo split in
+# _gemv_mxu_kernel).  The accumulator top growth itself is absorbed by
+# the `extra` bits in _rung_params.  Raised from 128 spills (2^22) in
+# round 3 by splitting cacc, whose int32 bound k*128 < 2^31 was the real
+# 2^22 limit.
+MAX_K_MXU = 1024 * SPILL_K
 
 
 def _rung_params(nwa: int, nwz: int, k_pad: int = SPILL_K):
@@ -366,17 +373,17 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False):
         nz = (mhi | mlo) != 0
         oob = jnp.logical_or(sh < 0, sh > _I(w_a - 53))
         bad = jnp.logical_or(jnp.logical_and(nz, oob), special)
-    bigs = []
+    ws = None
     if nwa == 3:
         big = sh >= _I(32)
         sh = sh - jnp.where(big, _I(32), _I(0))
     elif nwa >= 4:
-        # sh in [0, 32*(nwa-2) + 11]: up to nwa-2 whole-word shifts, then
-        # sh in [0, 31]
-        for _ in range(nwa - 2):
-            b = sh >= _I(32)
-            sh = sh - jnp.where(b, _I(32), _I(0))
-            bigs.append(b)
+        # sh in [0, 32*(nwa-2) + 11]: split into a whole-word shift
+        # ws in [0, nwa-2] applied logarithmically below and a bit shift
+        # in [0, 31] (round 3: the per-word conditional chain cost
+        # O(nwa^2) selects; the log shifter costs O(nwa log nwa))
+        ws = sh >> _I(5)
+        sh = sh & _I(31)
     shu = jax.lax.bitcast_convert_type(sh, _U)
     shn = jax.lax.bitcast_convert_type(_I(31) - sh, _U)
     mlou = jax.lax.bitcast_convert_type(mlo, _U)
@@ -392,11 +399,13 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False):
     elif nwa >= 4:
         w2 = (mhiu >> _U(1)) >> shn
         words = [w0, w1, w2] + [jnp.zeros_like(w2)] * (nwa - 3)
-        for b in bigs:   # conditionally shift the word stack up one slot
-            for j in range(nwa - 1, 0, -1):
-                words[j] = jnp.where(b, words[j - 1], words[j])
-            words[0] = jnp.where(b, _U(0), words[0])
-        words = list(words)
+        step = 1
+        while step <= nwa - 2:   # log shifter: move the stack up by the
+            b = (ws & _I(step)) != 0   # set bits of the word shift
+            for j in range(nwa - 1, -1, -1):
+                src = words[j - step] if j >= step else _U(0)
+                words[j] = jnp.where(b, src, words[j])
+            step <<= 1
     else:
         words = [w0, w1]
 
@@ -499,15 +508,18 @@ def _gemv_round_in_kernel(arel_out, cacc_out, corr_ref, eadj_ref, bits_out,
     dacc[pl.ds(l_rel, l_pad - l_rel), :] = jnp.zeros(
         (l_pad - l_rel, LANES), _I)
     # sign-mask correction: -2^w_a * sum_k negm_k * z; digit t at relative
-    # bit w_a + 8t, deposited as (low20, high) -- int32-safe split
-    # (|cacc| <= k_pad * 128 < 2^29; |high| < 2^29, limb slack absorbs it).
+    # bit w_a + 8t.  cacc is hi/lo split (spill block): the low rows are
+    # a remainder < 2^14 (the last grid step spills before rounding) and
+    # the high rows carry weight 2^14, |hi| < 2^18 -- both parts deposit
+    # as (low20, high) int32-safe splits.
     for t in range(nz):
-        j, rr = divmod(w_a + 8 * t, LIMB_BITS)
-        v = -cacc_out[0, t, :][None, :]
-        h = v >> _I(LIMB_BITS - rr)
-        low = (v << _I(rr)) & _I(LIMB_MASK)
-        dacc[pl.ds(j, 1), :] += low
-        dacc[pl.ds(j + 1, 1), :] += h
+        for part, extra_bits in ((0, 0), (32, 14)):
+            j, rr = divmod(w_a + 8 * t + extra_bits, LIMB_BITS)
+            v = -cacc_out[0, part + t, :][None, :]
+            h = v >> _I(LIMB_BITS - rr)
+            low = (v << _I(rr)) & _I(LIMB_MASK)
+            dacc[pl.ds(j, 1), :] += low
+            dacc[pl.ds(j + 1, 1), :] += h
     spec0 = jnp.zeros((3, LANES), _I)
     hi32, lo32 = round_lanes_acc(
         dacc, spec0, l_pad, 0, e_adjust=eadj_ref[0, 0:1, :] - _I(r0))
@@ -541,7 +553,7 @@ def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref, corr_ref, eadj_ref,
             zd, pltpu.bitcast(tc[w], jnp.int8),
             (((1,), (1,)), ((), ())), preferred_element_type=_I)
         macc[pl.ds(w * 32, 32), :] += n_w    # (32, 512): rows = digit t
-    cacc_out[0] += jax.lax.dot_general(
+    cacc_out[0, 0:32, :] += jax.lax.dot_general(
         zd, negm, (((1,), (1,)), ((), ())), preferred_element_type=_I)
 
     # Spill the int32 sums into the limb accumulator every SPILL_TILES
@@ -562,6 +574,15 @@ def _gemv_mxu_kernel(a_hi_ref, a_lo_ref, e_ref, zd_ref, corr_ref, eadj_ref,
                     32 * w + 8 * t, bofs, l_rel)
         macc[...] = jnp.zeros_like(macc)
         _renorm_rel3(arel_out)
+        # sign-mask accumulator hi/lo split: rows 0..31 keep a bounded
+        # low part (< 2^14 after the split; grows by <= SPILL_K * 128 =
+        # 2^22 per run), rows 32..63 accumulate the value-preserving high
+        # part (|hi| <= k/128 < 2^18 at the 2^25 k cap).  Without the
+        # split, |sum_k negm*zd| <= k * 128 was the real k <= 2^22 cap.
+        v = cacc_out[0, 0:32, :]
+        h = v >> _I(14)
+        cacc_out[0, 0:32, :] = v - (h << _I(14))
+        cacc_out[0, 32:64, :] += h
 
     if fuse_round:
         @pl.when(ik == nk - 1)
@@ -644,14 +665,14 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
         out_specs=(
             pl.BlockSpec((1, l_rel, 4 * LANES), lambda i, j: (i, _Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, LANES), lambda i, j: (i, _Z, _Z),
+            pl.BlockSpec((1, 64, LANES), lambda i, j: (i, _Z, _Z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, LANES), lambda i, j: (i, _Z, _Z),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((m_blocks, l_rel, 4 * LANES), jnp.int32),
-            jax.ShapeDtypeStruct((m_blocks, 32, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((m_blocks, 64, LANES), jnp.int32),
             jax.ShapeDtypeStruct((m_blocks, 8, LANES), jnp.uint32),
         ),
         scratch_shapes=[
@@ -674,11 +695,13 @@ def gemv_bits_mxu(a_hi, a_lo, z_hi, z_lo, ea, f_anchor,
     rel = jnp.sum(arel.reshape(m_blocks, l_rel, LANES, 4).astype(_I64),
                   axis=-1)                       # (mb, l_rel, 128)
     # sign-mask correction: -2^(W_a) * sum_k negm_k * z  (digit t at
-    # relative bit w_a + 8t)
+    # relative bit w_a + 8t; cacc rows 32+t hold the spilled high part
+    # with weight 2^14 -- recombined exactly in int64)
     for t in range(nz):
         j, rr = divmod(w_a + 8 * t, LIMB_BITS)
-        rel = rel.at[:, j, :].add(
-            -(cacc[:, t, :].astype(_I64) << _I64(rr)))
+        v = (cacc[:, t, :].astype(_I64)
+             + (cacc[:, 32 + t, :].astype(_I64) << _I64(14)))
+        rel = rel.at[:, j, :].add(-(v << _I64(rr)))
     # excess-128 compensation (global limb constant)
     rel = rel + corr.astype(_I64)[None, :, None]
 

@@ -249,7 +249,7 @@ def test_mxu_gemv_deep_subnormal_beta():
 
 def test_wide_range_rung44():
     """128-bit (nwa=4, nwz=4) rung: wide-range A and x ride the MXU
-    (previously the exact VPU fallback); spreads past 128 still fall back.
+    (previously the exact VPU fallback).
     """
     import exblas_tpu as xb
 
@@ -260,8 +260,69 @@ def test_wide_range_rung44():
     _check(a, x, alpha=2.5, beta=3.5, y=y, label="wide 50 beta=3.5")
     a2 = xb.init_fpuniform_matrix(64, 100, 90, -45, seed=54)
     x2 = xb.init_fpuniform(100, 2, 0, seed=55)
-    _check(a2, x2, label="spread>128 fallback")
+    _check(a2, x2, label="spread~143 -> (5,4) rung")
     a3 = xb.init_fpuniform_matrix(64, 128, 30, -1060, seed=56)
     x3 = xb.init_fpuniform(128, 5, 0, seed=57)
     _check(a3, x3, beta=1.0, y=xb.init_fpuniform(64, 3, -900, seed=58),
            label="deep subnormal rung44 beta=1")
+
+
+def test_wide_range_rungs_extended():
+    """Round-3 wide rungs (5,4)/(6,5)/(8,6): A spreads up to 256 bits and
+    z spreads up to 192 bits stay on the MXU path (the log word-shifter
+    in _slice_byte_words); past 256/192 the exact VPU fallback holds."""
+    import exblas_tpu as xb
+
+    # ~150-bit row spreads -> (5,4)
+    a = xb.init_fpuniform_matrix(64, 128, 97, -48, seed=60)
+    x = xb.init_fpuniform(128, 40, -20, seed=61)
+    _check(a, x, label="rung (5,4)")
+    # ~183-bit spreads (both sides) -> (6,5)
+    a2 = xb.init_fpuniform_matrix(64, 128, 130, -65, seed=62)
+    x2 = xb.init_fpuniform(128, 100, -50, seed=63)
+    _check(a2, x2, label="rung (6,5)")
+    y = xb.init_fpuniform(64, 10, -5, seed=64)
+    _check(a2, x2, alpha=1.5, beta=2.5, y=y, label="rung (6,5) beta")
+    # ~250-bit A spread -> (8,6)
+    a3 = xb.init_fpuniform_matrix(64, 128, 197, -98, seed=65)
+    x3 = xb.init_fpuniform(128, 60, -30, seed=66)
+    _check(a3, x3, label="rung (8,6)")
+    # past the widest rung -> VPU fallback
+    a4 = xb.init_fpuniform_matrix(64, 128, 230, -115, seed=67)
+    _check(a4, x3, label="spread>256 fallback")
+
+
+def test_gemv_cacc_split_negatives():
+    """Sign-mask accumulator hi/lo split: all-negative A maximizes the
+    negm*z digit sums; spill_tiles=1 forces the split every k-tile so the
+    hi rows actually accumulate (the k <= 2^25 cap's correctness story).
+    """
+    from exblas_tpu.ops.kernels.gemv_mxu import (analyze_gemv_rows,
+                                                 analyze_z, gemv_bits_mxu)
+
+    rng = np.random.default_rng(68)
+    m, k = 8, 2048         # 8 k-tiles, spill (and split) at every one
+    a = -rng.uniform(0.5, 1.0, (m, k))
+    x = rng.uniform(0.5, 1.0, (k,)) * np.where(
+        rng.uniform(size=(k,)) < 0.5, -1.0, 1.0)
+    ab, xb = split_f64(a), split_f64(x)
+    with pltpu.force_tpu_interpret_mode():
+        ea, _, _ = analyze_gemv_rows(ab.hi, ab.lo)
+        f, _, _ = analyze_z(xb.hi, xb.lo)
+        hi, lo = gemv_bits_mxu(ab.hi, ab.lo, xb.hi, xb.lo, ea, f,
+                               spill_tiles=1)
+    got = (np.asarray(hi).astype(np.uint64) << 32) | np.asarray(lo)
+    want = _bits_xla(a, 1.0, x, 0.0, None, "zero")
+    assert (got == want).all()
+    # beta path (XLA epilogue recombines the split in int64)
+    y = rng.uniform(-1.0, 1.0, (m,))
+    yb = split_f64(y)
+    bh, bl = _scalar_bits(2.5)
+    with pltpu.force_tpu_interpret_mode():
+        hi, lo = gemv_bits_mxu(ab.hi, ab.lo, xb.hi, xb.lo, ea, f,
+                               y_hi=yb.hi, y_lo=yb.lo, beta_hi=bh,
+                               beta_lo=bl, beta_mode="general",
+                               spill_tiles=1)
+    got = (np.asarray(hi).astype(np.uint64) << 32) | np.asarray(lo)
+    want = _bits_xla(a, 1.0, x, 2.5, y, "general")
+    assert (got == want).all()
