@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.f64ops import f64_mul
-from ..core.ieee import split_f64
+from ..core.ieee import F64Bits, split_f64, transpose_bits
 from ..ops.exgemv import dot_rows_acc_xla, round_rows
 from .distributed import AXIS, make_mesh
 
@@ -35,13 +35,31 @@ def _local_rows_acc(a_hi, a_lo, z_hi, z_lo, impl: str):
     return dot_rows_acc_xla(a_hi, a_lo, z_hi, z_lo)
 
 
+def _pad_axis(x, size: int, axis: int = 0):
+    """Zero-pad one axis up to ``size``.  Zero bit-pairs are +0.0 doubles:
+    they deposit nothing into limb accumulators and produce no specials
+    (0*finite), so padding to shard divisibility then slicing the result
+    is bit-exact -- the same remainder handling as the sum/dot shards
+    (distributed.py) and the reference's uneven MPI scatter
+    (src/cpu/blas/blas1/ExSUM.cpp:33-63)."""
+    if x.shape[axis] == size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, size - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
 def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
                    axis: str = AXIS, shard: str = "rows",
-                   impl: str | None = None, beta: float = 0.0, y=None):
-    """Reproducible y = alpha*A@x + beta*y over a device mesh -> bits.
+                   impl: str | None = None, beta: float = 0.0, y=None,
+                   trans: str = "N"):
+    """Reproducible y = alpha*op(A)@x + beta*y over a device mesh -> bits.
 
     shard="rows": A row-sharded, y sharded (gathered on return).
     shard="k":    A column-sharded, exact limb psum across devices.
+    trans="T" solves with A transposed (on-device bit transpose, matching
+    the single-chip signature).  Uneven m/k need not divide the mesh:
+    shards are zero-padded (exact) and the result sliced.
     beta handling mirrors the single-chip routine (exact deposit of y for
     beta == 1, exact 106-bit beta*y product otherwise) and happens exactly
     once per output row -- on the row's owner (rows) or replicated after
@@ -54,6 +72,10 @@ def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     ab = split_f64(np.asarray(a, np.float64))
+    if trans.upper() == "T":
+        ab = transpose_bits(ab)
+    elif trans.upper() != "N":
+        raise ValueError(f"exgemv_sharded: trans must be N/T, got {trans!r}")
     m, n = ab.hi.shape
     # z = fl(alpha * x), computed once and replicated
     xb = split_f64(np.asarray(x, np.float64))
@@ -76,10 +98,13 @@ def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
         yb = split_f64(np.zeros((m,)))
 
     if shard == "rows":
-        if m % nd:
-            raise ValueError(f"m={m} must divide the mesh size {nd}")
+        m_pad = -(-m // nd) * nd
+        ab = F64Bits(hi=_pad_axis(ab.hi, m_pad), lo=_pad_axis(ab.lo, m_pad))
+        yb = F64Bits(hi=_pad_axis(yb.hi, m_pad), lo=_pad_axis(yb.lo, m_pad))
 
-        if impl in ("pallas", "auto") and n <= 2 ** 22:
+        from ..ops.kernels.gemv_mxu import MAX_K_MXU
+
+        if impl in ("pallas", "auto") and -(-n // 256) * 256 <= MAX_K_MXU:
             # each device owns complete rows, so the full single-device
             # auto dispatch (MXU byte-plane ladder + VPU fallback) applies
             # per shard -- multi-chip GEMV runs at MXU speed
@@ -96,7 +121,8 @@ def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
                                        one_h, one_l, bh, bl,
                                        y_hi, y_lo, beta_mode, 128)
 
-            return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)
+            return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo,
+                                yb.hi, yb.lo)[:m]
 
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis)),
@@ -107,11 +133,14 @@ def exgemv_sharded(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
                                               y_hi, y_lo, beta_mode)
             return round_rows(limbs, special)
 
-        return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)
+        return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)[:m]
 
     elif shard == "k":
-        if n % nd:
-            raise ValueError(f"n={n} must divide the mesh size {nd}")
+        n_pad = -(-n // nd) * nd
+        ab = F64Bits(hi=_pad_axis(ab.hi, n_pad, 1),
+                     lo=_pad_axis(ab.lo, n_pad, 1))
+        z_hi = _pad_axis(z_hi, n_pad)
+        z_lo = _pad_axis(z_lo, n_pad)
 
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(None, axis), P(None, axis), P(axis), P(axis),
@@ -139,8 +168,8 @@ def make_mesh_2d(shape, axes=("rows", "k")) -> Mesh:
 
 
 def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
-                      beta: float = 0.0, y=None):
-    """Reproducible y = alpha*A@x + beta*y over a 2-D (rows, k) mesh.
+                      beta: float = 0.0, y=None, trans: str = "N"):
+    """Reproducible y = alpha*op(A)@x + beta*y over a 2-D (rows, k) mesh.
 
     A is sharded over both axes; per-device partial accumulators are merged
     with an exact limb psum over the reduction axis, rows stay sharded; the
@@ -154,10 +183,16 @@ def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
     impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     row_ax, k_ax = mesh.axis_names
     ab = split_f64(np.asarray(a, np.float64))
-    m, n = ab.hi.shape
-    if m % mesh.shape[row_ax] or n % mesh.shape[k_ax]:
+    if trans.upper() == "T":
+        ab = transpose_bits(ab)
+    elif trans.upper() != "N":
         raise ValueError(
-            f"({m}, {n}) must divide the mesh shape {dict(mesh.shape)}")
+            f"exgemv_sharded_2d: trans must be N/T, got {trans!r}")
+    m, n = ab.hi.shape
+    m_pad = -(-m // mesh.shape[row_ax]) * mesh.shape[row_ax]
+    n_pad = -(-n // mesh.shape[k_ax]) * mesh.shape[k_ax]
+    ab = F64Bits(hi=_pad_axis(_pad_axis(ab.hi, m_pad), n_pad, 1),
+                 lo=_pad_axis(_pad_axis(ab.lo, m_pad), n_pad, 1))
     xb_ = split_f64(np.asarray(x, np.float64))
     au = np.float64(alpha).view(np.uint64)
     zbits = f64_mul(
@@ -166,6 +201,9 @@ def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
         xb_.hi, xb_.lo)
     z_hi = (zbits >> _U64(32)).astype(jnp.uint32)
     z_lo = (zbits & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    z_hi = _pad_axis(z_hi, n_pad)
+    z_lo = _pad_axis(z_lo, n_pad)
 
     beta_mode = "zero" if (beta == 0.0 or y is None) else (
         "one" if beta == 1.0 else "general")
@@ -176,6 +214,7 @@ def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
             raise ValueError(f"exgemv_sharded_2d: y must be ({m},)")
     else:
         yb = split_f64(np.zeros((m,)))
+    yb = F64Bits(hi=_pad_axis(yb.hi, m_pad), lo=_pad_axis(yb.lo, m_pad))
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(row_ax, k_ax), P(row_ax, k_ax), P(k_ax), P(k_ax),
@@ -190,7 +229,7 @@ def exgemv_sharded_2d(a, x, alpha: float = 1.0, mesh: Mesh | None = None,
                                           y_hi, y_lo, beta_mode)
         return round_rows(limbs, special)
 
-    return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)
+    return jax.jit(run)(ab.hi, ab.lo, z_hi, z_lo, yb.hi, yb.lo)[:m]
 
 
 def _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl: str, c_hi=None,
@@ -217,13 +256,22 @@ def _local_gemm_bits(a_hi, a_lo, b_hi, b_lo, impl: str, c_hi=None,
         a_hi.shape[0], b_hi.shape[1])
 
 
-def _gemm_operands(a, b, alpha, beta, c):
-    """Shared host-side prep for the sharded GEMM wrappers: bit planes,
-    fl(alpha*A) scalar bits, beta mode, and a (possibly zero) C plane."""
+def _gemm_operands(a, b, alpha, beta, c, transa="N", transb="N"):
+    """Shared host-side prep for the sharded GEMM wrappers: bit planes
+    (transposed on device per transa/transb), fl(alpha*A) scalar bits,
+    beta mode, and a (possibly zero) C plane."""
     from ..ops.exgemv import _scalar_bits
 
+    for name, t in (("transa", transa), ("transb", transb)):
+        if t.upper() not in ("N", "T"):
+            raise ValueError(f"exgemm_sharded: {name} must be N/T, got "
+                             f"{t!r}")
     ab = split_f64(np.asarray(a, np.float64))
     bb = split_f64(np.asarray(b, np.float64))
+    if transa.upper() == "T":
+        ab = transpose_bits(ab)
+    if transb.upper() == "T":
+        bb = transpose_bits(bb)
     m = ab.hi.shape[0]
     n = bb.hi.shape[1]
     beta_mode = "zero" if (beta == 0.0 or c is None) else (
@@ -250,18 +298,21 @@ def _alpha_fold(a_hi, a_lo, ah, al):
 
 def exgemm_sharded(a, b, mesh: Mesh | None = None, axis: str = AXIS,
                    impl: str | None = None, alpha: float = 1.0,
-                   beta: float = 0.0, c=None):
-    """Reproducible C = beta*C + alpha*A@B with A (and C) row-sharded
-    over the mesh -> bits (m, n)."""
+                   beta: float = 0.0, c=None, transa: str = "N",
+                   transb: str = "N"):
+    """Reproducible C = beta*C + alpha*op(A)@op(B) with op(A) (and C)
+    row-sharded over the mesh -> bits (m, n).  Uneven m is zero-padded
+    (exact)."""
     mesh = mesh or make_mesh()
     nd = mesh.devices.size
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     ab, bb, cb, (ah, al), (bh, bl), beta_mode = _gemm_operands(
-        a, b, alpha, beta, c)
+        a, b, alpha, beta, c, transa, transb)
     m = ab.hi.shape[0]
-    if m % nd:
-        raise ValueError(f"m={m} must divide the mesh size {nd}")
+    m_pad = -(-m // nd) * nd
+    ab = F64Bits(hi=_pad_axis(ab.hi, m_pad), lo=_pad_axis(ab.lo, m_pad))
+    cb = F64Bits(hi=_pad_axis(cb.hi, m_pad), lo=_pad_axis(cb.lo, m_pad))
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis)),
@@ -271,13 +322,15 @@ def exgemm_sharded(a, b, mesh: Mesh | None = None, axis: str = AXIS,
         return _local_gemm_bits(z_hi, z_lo, b_hi, b_lo, impl,
                                 c_hi, c_lo, bh, bl, beta_mode)
 
-    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo, cb.hi, cb.lo)
+    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo, cb.hi, cb.lo)[:m]
 
 
 def exgemm_sharded_2d(a, b, mesh: Mesh | None = None,
                       impl: str | None = None, alpha: float = 1.0,
-                      beta: float = 0.0, c=None):
-    """Reproducible C = beta*C + alpha*A@B over a 2-D (rows, cols) mesh.
+                      beta: float = 0.0, c=None, transa: str = "N",
+                      transb: str = "N"):
+    """Reproducible C = beta*C + alpha*op(A)@op(B) over a 2-D (rows, cols)
+    mesh.
 
     The classic tensor-parallel BLAS-3 layout: A row-sharded, B
     column-sharded, C block-sharded on return; k stays on-device so each
@@ -291,12 +344,16 @@ def exgemm_sharded_2d(a, b, mesh: Mesh | None = None,
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     ab, bb, cb, (ah, al), (bh, bl), beta_mode = _gemm_operands(
-        a, b, alpha, beta, c)
+        a, b, alpha, beta, c, transa, transb)
     m = ab.hi.shape[0]
     n = bb.hi.shape[1]
-    if m % mesh.shape[row_ax] or n % mesh.shape[col_ax]:
-        raise ValueError(
-            f"({m}, {n}) must divide the mesh shape {dict(mesh.shape)}")
+    m_pad = -(-m // mesh.shape[row_ax]) * mesh.shape[row_ax]
+    n_pad = -(-n // mesh.shape[col_ax]) * mesh.shape[col_ax]
+    ab = F64Bits(hi=_pad_axis(ab.hi, m_pad), lo=_pad_axis(ab.lo, m_pad))
+    bb = F64Bits(hi=_pad_axis(bb.hi, n_pad, 1),
+                 lo=_pad_axis(bb.lo, n_pad, 1))
+    cb = F64Bits(hi=_pad_axis(_pad_axis(cb.hi, m_pad), n_pad, 1),
+                 lo=_pad_axis(_pad_axis(cb.lo, m_pad), n_pad, 1))
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(row_ax), P(row_ax), P(None, col_ax),
@@ -308,13 +365,15 @@ def exgemm_sharded_2d(a, b, mesh: Mesh | None = None,
         return _local_gemm_bits(z_hi, z_lo, b_hi, b_lo, impl,
                                 c_hi, c_lo, bh, bl, beta_mode)
 
-    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo, cb.hi, cb.lo)
+    return jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo,
+                        cb.hi, cb.lo)[:m, :n]
 
 
 def exgemm_sharded_k(a, b, mesh: Mesh | None = None, axis: str = AXIS,
-                     alpha: float = 1.0, beta: float = 0.0, c=None):
-    """Reproducible C = beta*C + alpha*A@B with the k (reduction) axis
-    sharded.
+                     alpha: float = 1.0, beta: float = 0.0, c=None,
+                     transa: str = "N", transb: str = "N"):
+    """Reproducible C = beta*C + alpha*op(A)@op(B) with the k (reduction)
+    axis sharded.
 
     Each device deposits its k-slice of products into exact per-element
     limb accumulators; an integer ``psum`` merges them (the BLAS-3 analog
@@ -328,11 +387,13 @@ def exgemm_sharded_k(a, b, mesh: Mesh | None = None, axis: str = AXIS,
     mesh = mesh or make_mesh()
     nd = mesh.devices.size
     ab, bb, cb, (ah, al), (bh, bl), beta_mode = _gemm_operands(
-        a, b, alpha, beta, c)
+        a, b, alpha, beta, c, transa, transb)
     m, k = ab.hi.shape
     n = bb.hi.shape[1]
-    if k % nd:
-        raise ValueError(f"k={k} must divide the mesh size {nd}")
+    k_pad = -(-k // nd) * nd
+    ab = F64Bits(hi=_pad_axis(ab.hi, k_pad, 1),
+                 lo=_pad_axis(ab.lo, k_pad, 1))
+    bb = F64Bits(hi=_pad_axis(bb.hi, k_pad), lo=_pad_axis(bb.lo, k_pad))
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(None, axis), P(None, axis), P(axis), P(axis),
