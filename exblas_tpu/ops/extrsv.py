@@ -139,17 +139,22 @@ def solve_diag_block(td_hi, td_lo, acc_blk, spec_blk, unit: bool):
     return xb_hi, xb_lo
 
 
-@partial(jax.jit, static_argnames=("unit", "block", "impl"))
-def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int,
-                    impl: str = "xla"):
-    """Solve lower-triangular T x = b (row-ascending dependency order)."""
-    n = b_hi.shape[0]
-    nblocks = n // block
-    acc, special = _deposit_b(b_hi, b_lo)
-    x_hi = jnp.zeros((n,), jnp.uint32)
-    x_lo = jnp.zeros((n,), jnp.uint32)
+def solve_panel(t_hi, t_lo, acc, special, unit: bool, block: int,
+                impl: str = "xla"):
+    """Blocked sweep over an (p, p) lower-triangular panel given the rows'
+    exact accumulator state (b already deposited, minus every deposit from
+    columns left of the panel).  Returns (x_hi, x_lo) bit pairs.
 
-    row_iota_n = jax.lax.broadcasted_iota(_I32, (n,), 0)
+    The shared engine of the single-chip solve and the sharded solver's
+    replicated diagonal-panel step (parallel/trsv.py) -- so their bits
+    agree by construction.  ``impl="pallas"`` routes the O(p*block)
+    trailing updates through the Pallas GEMV kernel (TPU hot path)."""
+    p = t_hi.shape[0]
+    nblocks = p // block
+    x_hi = jnp.zeros((p,), jnp.uint32)
+    x_lo = jnp.zeros((p,), jnp.uint32)
+
+    row_iota_n = jax.lax.broadcasted_iota(_I32, (p,), 0)
 
     def outer(kb, state):
         acc, special, x_hi, x_lo = state
@@ -167,13 +172,13 @@ def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int,
         # deposits only target rows >= base + block)
 
         # Trailing update: rows beyond this block get all B column deposits.
-        tc_hi = jax.lax.dynamic_slice(t_hi, (0, base), (n, block))
-        tc_lo = jax.lax.dynamic_slice(t_lo, (0, base), (n, block))
+        tc_hi = jax.lax.dynamic_slice(t_hi, (0, base), (p, block))
+        tc_lo = jax.lax.dynamic_slice(t_lo, (0, base), (p, block))
         m = (row_iota_n >= base + block)[:, None]
         tc_hi = jnp.where(m, _neg(tc_hi), jnp.uint32(0))
         tc_lo = jnp.where(m, tc_lo, jnp.uint32(0))
         if impl == "pallas":
-            # the O(n*B) trailing update is a GEMV: use the Pallas kernel
+            # the O(p*B) trailing update is a GEMV: use the Pallas kernel
             from .kernels.gemv_kernel import gemv_rows_acc_pallas
 
             d_limbs, d_special = gemv_rows_acc_pallas(
@@ -188,6 +193,15 @@ def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int,
 
     acc, special, x_hi, x_lo = jax.lax.fori_loop(
         0, nblocks, outer, (acc, special, x_hi, x_lo))
+    return x_hi, x_lo
+
+
+@partial(jax.jit, static_argnames=("unit", "block", "impl"))
+def _trsv_lower_jit(t_hi, t_lo, b_hi, b_lo, unit: bool, block: int,
+                    impl: str = "xla"):
+    """Solve lower-triangular T x = b (row-ascending dependency order)."""
+    acc, special = _deposit_b(b_hi, b_lo)
+    x_hi, x_lo = solve_panel(t_hi, t_lo, acc, special, unit, block, impl)
     return (x_hi.astype(_U64) << _U64(32)) | x_lo.astype(_U64)
 
 

@@ -12,9 +12,11 @@ across a device mesh as plain SPMD with collectives:
   diagonal block to every device (the TPU-native analog of the
   reference's inter-workgroup sync/publish protocol -- one collective
   instead of a spin lock), then EVERY device runs the identical
-  sequential block solve (``ops.extrsv.solve_diag_block``, replicated
-  compute, deterministic) and deposits the solved x block into its own
-  trailing rows with the exact GEMV-style limb deposit;
+  sub-blocked panel solve (``ops.extrsv.solve_panel`` -- the shared
+  blocked-sweep engine of the single-chip path, replicated compute,
+  deterministic) and deposits the solved x block into its own trailing
+  rows with the exact GEMV-style limb deposit (the Pallas GEMV kernel
+  on TPU);
 * x is assembled replicated and returned as f64 bits.
 
 Bit identity with the single-chip solve holds by construction: limb
@@ -33,7 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.ieee import F64Bits, flip2_bits, split_f64, transpose_bits
-from ..ops.extrsv import _deposit_b, solve_diag_block
+from ..ops.extrsv import _choose_block, _deposit_b, solve_panel
 from ..ops.exgemv import dot_rows_acc_xla
 from .distributed import AXIS, make_mesh
 
@@ -47,13 +49,18 @@ def _neg(hi):
 
 
 def extrsv_sharded(uplo: str, trans: str, diag: str, a, b,
-                   mesh: Mesh | None = None, axis: str = AXIS):
+                   mesh: Mesh | None = None, axis: str = AXIS,
+                   impl: str | None = None):
     """Reproducible op(T) x = b over a device mesh -> x f64 bits (n,).
 
     Same semantics and bits as the single-chip ``extrsv`` (exact residual
     accumulators, Round-then-correctly-rounded-divide per element); T and
     the accumulators are row-sharded, solved blocks are broadcast with
-    masked integer psums.  n must divide the mesh size.
+    masked integer psums.  Uneven n is padded: the system extends to
+    [[T, 0], [0, I]] x = [b, 0] whose padded solution rows are exactly
+    0.0 and deposit nothing into real rows, so the bits match the
+    single-chip solve (the remainder handling of the reference's MPI
+    scatter, src/cpu/blas/blas1/ExSUM.cpp:33-63).
     """
     uplo, trans, diag = uplo.upper(), trans.upper(), diag.upper()
     if uplo not in "LU" or trans not in "NT" or diag not in "NU":
@@ -65,8 +72,6 @@ def extrsv_sharded(uplo: str, trans: str, diag: str, a, b,
     n = bb.hi.shape[0]
     if ab.hi.shape != (n, n):
         raise ValueError(f"extrsv_sharded: a must be ({n}, {n})")
-    if n % nd:
-        raise ValueError(f"n={n} must divide the mesh size {nd}")
 
     if trans == "T":
         ab = transpose_bits(ab)
@@ -75,8 +80,28 @@ def extrsv_sharded(uplo: str, trans: str, diag: str, a, b,
         ab = flip2_bits(ab)
         bb = F64Bits(hi=bb.hi[::-1], lo=bb.lo[::-1])
 
-    nb = n // nd
+    n_pad = -(-n // nd) * nd
+    if n_pad != n:
+        # identity extension (1.0 = hi 0x3FF00000): padded x rows solve to
+        # (0 - 0)/1 = +0.0 exactly; zero off-diagonals deposit nothing
+        pad = n_pad - n
+        one_hi = jnp.full((pad,), 0x3FF00000, jnp.uint32)
+        t_hi = jnp.pad(ab.hi, ((0, pad), (0, pad)))
+        t_hi = t_hi.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(
+            one_hi)
+        ab = F64Bits(hi=t_hi, lo=jnp.pad(ab.lo, ((0, pad), (0, pad))))
+        bb = F64Bits(hi=jnp.pad(bb.hi, (0, pad)),
+                     lo=jnp.pad(bb.lo, (0, pad)))
+
+    nb = n_pad // nd
     unit = diag == "U"
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # sub-block the replicated nb-row diagonal-panel sweep (a 1024-step
+    # sequential solve at n=8192/8 devices was the round-2 bottleneck);
+    # trailing updates inside the panel and across devices ride the
+    # Pallas GEMV kernel on TPU
+    sub = _choose_block(nb)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -86,8 +111,8 @@ def extrsv_sharded(uplo: str, trans: str, diag: str, a, b,
         idx = jax.lax.axis_index(axis).astype(_I32)
         grow = idx * nb + jax.lax.broadcasted_iota(_I32, (nb,), 0)
         acc, spec = _deposit_b(b_hi, b_lo)
-        x_hi = jnp.zeros((n,), jnp.uint32)
-        x_lo = jnp.zeros((n,), jnp.uint32)
+        x_hi = jnp.zeros((n_pad,), jnp.uint32)
+        x_lo = jnp.zeros((n_pad,), jnp.uint32)
 
         for kb in range(nd):
             mine = idx == kb
@@ -105,9 +130,11 @@ def extrsv_sharded(uplo: str, trans: str, diag: str, a, b,
                 jnp.where(mine, t_lo[:, kb * nb:(kb + 1) * nb],
                           jnp.uint32(0)).astype(_I64), axis) \
                 .astype(jnp.uint32)
-            # identical replicated block solve on every device
-            xb_hi, xb_lo = solve_diag_block(td_hi, td_lo, acc_c, spec_c,
-                                            unit)
+            # identical replicated panel solve on every device (the shared
+            # blocked-sweep engine of the single-chip path: sub-blocked
+            # diagonal solves + batched trailing GEMV deposits)
+            xb_hi, xb_lo = solve_panel(td_hi, td_lo, acc_c, spec_c,
+                                       unit, sub, impl)
             x_hi = jax.lax.dynamic_update_slice(x_hi, xb_hi, (kb * nb,))
             x_lo = jax.lax.dynamic_update_slice(x_lo, xb_lo, (kb * nb,))
             # exact trailing deposit into MY rows strictly below the block
@@ -116,13 +143,21 @@ def extrsv_sharded(uplo: str, trans: str, diag: str, a, b,
                               jnp.uint32(0))
             tc_lo = jnp.where(m, t_lo[:, kb * nb:(kb + 1) * nb],
                               jnp.uint32(0))
-            d_limbs, d_spec = dot_rows_acc_xla(tc_hi, tc_lo, xb_hi, xb_lo)
+            if impl == "pallas":
+                from ..ops.kernels.gemv_kernel import gemv_rows_acc_pallas
+
+                d_limbs, d_spec = gemv_rows_acc_pallas(
+                    tc_hi, tc_lo, xb_hi, xb_lo,
+                    k_rows=max(8, min(nb, 256)))
+            else:
+                d_limbs, d_spec = dot_rows_acc_xla(tc_hi, tc_lo,
+                                                   xb_hi, xb_lo)
             acc = acc + d_limbs
             spec = spec + d_spec.astype(_I64)
 
         return (x_hi.astype(_U64) << _U64(32)) | x_lo.astype(_U64)
 
-    bits = jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)
+    bits = jax.jit(run)(ab.hi, ab.lo, bb.hi, bb.lo)[:n]
     if uplo == "U":
         bits = bits[::-1]
     return bits
