@@ -311,6 +311,7 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000,
         nt = int(rng.randint(1, 97))
         uplo = ["L", "U"][int(rng.randint(2))]
         diag = ["N", "U"][int(rng.randint(2))]
+        trans = ["N", "T"][int(rng.randint(2))]
         m0 = _gen_matrix(tdist, nt, nt, rng)
         a = np.tril(m0) if uplo == "L" else np.triu(m0)
         idxd = np.arange(nt)
@@ -327,18 +328,21 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000,
             np.where(rng.rand(nt) < 0.5, -1.0, 1.0))
         b = gen_vector(tdist, nt, rng)
         label = (f"case {idx} (seed {campaign_seed}): extrsv {tdist} "
-                 f"{uplo}{diag} n={nt} fpe={fpe} impl={impl}")
-        got = xb.extrsv(uplo, "N", diag, a, b, fpe=fpe,
+                 f"{uplo}{trans}{diag} n={nt} fpe={fpe} impl={impl}")
+        got = xb.extrsv(uplo, trans, diag, a, b, fpe=fpe,
                         early_exit=early_exit, impl=impl)
-        if uplo == "L":
-            want = _oracle_trsv_lower(a, b, unit=(diag == "U"))
+        # effective system: op(T) x = b; transposing flips the triangle
+        ae = a if trans == "N" else a.T
+        ue = uplo if trans == "N" else ("U" if uplo == "L" else "L")
+        if ue == "L":
+            want = _oracle_trsv_lower(ae, b, unit=(diag == "U"))
         else:
-            want = _oracle_trsv_lower(a[::-1, ::-1], b[::-1],
+            want = _oracle_trsv_lower(ae[::-1, ::-1], b[::-1],
                                       unit=(diag == "U"))[::-1]
         assert_same_bits_arr(got, want, label)
         # variant agreement: a different fpe/tiling must not change bits
         fpe2 = 2 if fpe >= 5 else 8
-        got_v = xb.extrsv(uplo, "N", diag, a, b, fpe=fpe2,
+        got_v = xb.extrsv(uplo, trans, diag, a, b, fpe=fpe2,
                           early_exit=not early_exit, impl=impl)
         assert_same_bits_arr(got_v, got, label + f" [variant fpe={fpe2}]")
     return label

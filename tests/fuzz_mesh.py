@@ -73,22 +73,19 @@ def _bits(x) -> np.ndarray:
     return np.asarray(x).reshape(-1).view(np.uint64)
 
 
-def _mesh_sizes(rng, nd_max: int, k: int, lcm_cap: int | None = None):
+def _mesh_sizes(rng, nd_max: int, k: int):
     """k distinct device counts in [1, nd_max], always including 1.
 
-    lcm_cap bounds lcm(sizes) for the matrix routines, whose dims must be
-    a multiple of every tested mesh size (an uncapped draw like {5, 13, 16}
-    forces lcm=1040 -> a 1040^3 XLA limb GEMM, terabytes of accumulator).
-    """
+    Dims need NOT divide the mesh sizes: every sharded routine pads
+    uneven shards with zero rows/columns (exact -- zeros deposit nothing)
+    and slices the result, so the draws here are unconstrained (round 3;
+    the lcm workaround is gone)."""
     pool = [d for d in range(1, nd_max + 1)]
     picks = {1}
     tries = 0
     while len(picks) < min(k, nd_max) and tries < 32:
         tries += 1
-        d = int(rng.choice(pool))
-        if lcm_cap and int(np.lcm.reduce(sorted(picks | {d}))) > lcm_cap:
-            continue
-        picks.add(d)
+        picks.add(int(rng.choice(pool)))
     return sorted(picks)
 
 
@@ -103,16 +100,15 @@ def run_case(idx: int, campaign_seed: int, nd_max: int) -> str:
     import exblas_tpu as xb
     from exblas_tpu.parallel import (
         exdot_sharded, exgemm_sharded, exgemm_sharded_2d, exgemm_sharded_k,
-        exgemv_sharded, exgemv_sharded_2d, exsum_sharded, make_mesh,
-        make_mesh_2d,
+        exgemv_sharded, exgemv_sharded_2d, exsum_sharded, extrsv_sharded,
+        make_mesh, make_mesh_2d,
     )
 
     rng = np.random.RandomState((campaign_seed * 999983 + idx) % 2 ** 31)
     routine = ["exsum", "exsum", "exdot", "exdot",
-               "exgemv", "exgemm"][int(rng.randint(6))]
+               "exgemv", "exgemm", "extrsv"][int(rng.randint(7))]
     dist = DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))]
-    cap = {"exgemv": 24, "exgemm": 16}.get(routine)
-    meshes = _mesh_sizes(rng, nd_max, k=int(rng.randint(2, 5)), lcm_cap=cap)
+    meshes = _mesh_sizes(rng, nd_max, k=int(rng.randint(2, 5)))
     label = (f"case {idx} (seed {campaign_seed}): {routine} {dist} "
              f"meshes={meshes}")
 
@@ -148,11 +144,42 @@ def run_case(idx: int, campaign_seed: int, nd_max: int) -> str:
         assert got_p == res[0], f"{label}: permuted differs"
         return label + f" n={n}"
 
+    if routine == "extrsv":
+        # finite data, nonzero diagonal, bounded solution growth -- the
+        # same conditioning as fuzz.py's extrsv case; uneven n by default
+        # (the sharded solve pads with an identity extension)
+        safe = {"special_laced": "fpuniform_std",
+                "subnormal_heavy": "fpuniform_std",
+                "fpuniform_full": "fpuniform_large"}
+        tdist = safe.get(dist, dist)
+        nt = int(rng.randint(1, 65))
+        uplo = ["L", "U"][int(rng.randint(2))]
+        diag = ["N", "U"][int(rng.randint(2))]
+        trans = ["N", "T"][int(rng.randint(2))]
+        m0 = gen_vector(tdist, nt * nt, rng).reshape(nt, nt)
+        a = np.tril(m0) if uplo == "L" else np.triu(m0)
+        idxd = np.arange(nt)
+        a[idxd, idxd] = 0.0
+        off_max = float(np.max(np.abs(a))) if nt > 1 else 0.0
+        if off_max > 0.0:
+            s = 2.0 ** -max(0, int(np.ceil(np.log2(off_max * nt * 4))))
+            a *= s
+        a[idxd, idxd] = (gen_vector("fpuniform_std", nt, rng) + 1.0) * (
+            np.where(rng.rand(nt) < 0.5, -1.0, 1.0))
+        b = gen_vector(tdist, nt, rng)
+        # anchor: the single-chip solve; every mesh must reproduce it
+        want = _bits(xb.extrsv(uplo, trans, diag, a, b, impl="xla"))
+        for nd in meshes:
+            got = _bits(extrsv_sharded(uplo, trans, diag, a, b,
+                                       mesh=make_mesh(nd)))
+            assert (got == want).all(), (
+                f"{label}: mesh {nd} sharded TRSV bits differ")
+        return label + f" {uplo}{trans}{diag} n={nt}"
+
     if routine == "exgemv":
-        # shapes divisible by every tested mesh size and 2-D factor
-        lcm = int(np.lcm.reduce(meshes))
-        m = lcm * int(rng.randint(1, max(2, 96 // lcm + 1)))
-        k = lcm * int(rng.randint(1, max(2, 128 // lcm + 1)))
+        # uneven dims by default: shard padding must not change a bit
+        m = int(rng.randint(1, 97))
+        k = int(rng.randint(1, 129))
         alpha = [1.0, -0.5, 3.7][int(rng.randint(3))]
         a = gen_vector(dist, m * k, rng).reshape(m, k)
         xv = gen_vector(dist, k, rng)
@@ -175,8 +202,7 @@ def run_case(idx: int, campaign_seed: int, nd_max: int) -> str:
                                      mesh=make_mesh(meshes[-1]),
                                      shard="rows", impl="xla"))
         assert (got_p == res[0]).all(), f"{label}: k-permuted differs"
-        # beta extension (draws appended at the end: earlier draws --
-        # and so the recorded seed-20260825 replays -- are unchanged)
+        # beta extension
         beta = [1.0, -2.25][int(rng.randint(2))]
         yv = gen_vector("fpuniform_large", m, rng)
         kw = dict(alpha=alpha, beta=beta, y=yv, impl="xla")
@@ -190,13 +216,22 @@ def run_case(idx: int, campaign_seed: int, nd_max: int) -> str:
                                        shard="rows", **kw)))
         for r in rb[1:]:
             assert (r == rb[0]).all(), f"{label}: beta={beta} bits differ"
-        return label + f" {m}x{k} alpha={alpha} beta={beta}"
+        # trans="T": the sharded op(A) path must match the explicitly
+        # pre-transposed matrix on the same mesh
+        shard_t = ["rows", "k"][int(rng.randint(2))]
+        xt = gen_vector(dist, m, rng)
+        got_t = _bits(exgemv_sharded(a, xt, alpha, mesh=make_mesh(nd),
+                                     shard=shard_t, impl="xla", trans="T"))
+        want_t = _bits(exgemv_sharded(np.ascontiguousarray(a.T), xt, alpha,
+                                      mesh=make_mesh(nd), shard=shard_t,
+                                      impl="xla"))
+        assert (got_t == want_t).all(), f"{label}: trans=T bits differ"
+        return label + f" {m}x{k} alpha={alpha} beta={beta} +T"
 
-    # exgemm
-    lcm = int(np.lcm.reduce(meshes))
-    m = lcm * int(rng.randint(1, max(2, 48 // lcm + 1)))
-    k = lcm * int(rng.randint(1, max(2, 64 // lcm + 1)))
-    n2 = lcm * int(rng.randint(1, max(2, 48 // lcm + 1)))
+    # exgemm -- uneven dims by default (shard padding must not matter)
+    m = int(rng.randint(1, 49))
+    k = int(rng.randint(1, 65))
+    n2 = int(rng.randint(1, 49))
     a = gen_vector(dist, m * k, rng).reshape(m, k)
     b_dist = (dist if rng.rand() < 1 / 3 else
               DISTRIBUTIONS[int(rng.randint(len(DISTRIBUTIONS)))])
@@ -233,7 +268,17 @@ def run_case(idx: int, campaign_seed: int, nd_max: int) -> str:
     for r in rb[1:]:
         assert (r == rb[0]).all(), (
             f"{label}: alpha={alpha} beta={beta} bits differ")
-    return label + f" {m}x{k}x{n2} alpha={alpha} beta={beta}"
+    # transa/transb: sharded op() must match the pre-transposed operands
+    ta = ["N", "T"][int(rng.randint(2))]
+    tb = "T" if ta == "N" else ["N", "T"][int(rng.randint(2))]
+    a_t = np.ascontiguousarray(a.T) if ta == "T" else a
+    b_t = np.ascontiguousarray(b.T) if tb == "T" else b
+    got_t = _bits(exgemm_sharded(a_t, b_t, mesh=make_mesh(nd), impl="xla",
+                                 transa=ta, transb=tb))
+    assert (got_t == _bits(exgemm_sharded(
+        a, b, mesh=make_mesh(nd), impl="xla"))).all(), (
+        f"{label}: transa={ta} transb={tb} bits differ")
+    return label + f" {m}x{k}x{n2} alpha={alpha} beta={beta} +{ta}{tb}"
 
 
 def main(args) -> int:
