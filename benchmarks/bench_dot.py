@@ -1,7 +1,7 @@
-"""ExDOT throughput at n=2^23 (RESULTS.md config) by distribution, plus the
-non-reproducible emulated-f64 control.
+"""ExDOT throughput at n=2^24 (the BASELINE.md declared config) by
+distribution, plus the non-reproducible emulated-f64 control.
 
-Run:  python benchmarks/bench_dot.py
+Run:  python benchmarks/bench_dot.py [log2n]
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ def main():
 
     from exblas_tpu.ops.exdot import _exdot_bits_mxu_auto
 
-    n = 1 << 23
+    n = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 24)
     rng = __import__("numpy").random.default_rng(5)
     cases = {
         "narrow": (xb.init_fpuniform(n, 2, 0, seed=7),

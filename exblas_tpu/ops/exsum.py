@@ -260,8 +260,13 @@ def exsum(x, inca: int = 1, offset: int = 0, fpe: int = 2,
     return float(np.asarray(bits).reshape(1).view(np.float64)[0])
 
 
-@partial(jax.jit, static_argnames=("num_segments",))
-def _exsum_segmented_jit(hi, lo, segment_ids, num_segments: int):
+def exsum_segmented_bits(hi, lo, segment_ids, num_segments: int):
+    """Traceable per-segment exact sums -> f64 bit patterns (uint64).
+
+    The batched building block behind :func:`exsum_segmented`; exposed
+    un-jitted so applications (e.g. the device-side k-means step,
+    apps/kmeans.py) can fuse it into larger jitted programs.
+    """
     from ..core import deposit as dep
     from ..core.rounding import (
         canonicalize_digits,
@@ -293,6 +298,10 @@ def _exsum_segmented_jit(hi, lo, segment_ids, num_segments: int):
     bits = jnp.where(pos_c > 0, PINF_BITS, bits)
     bits = jnp.where(is_nan, QNAN_BITS, bits)
     return bits
+
+
+_exsum_segmented_jit = partial(jax.jit, static_argnames=("num_segments",))(
+    exsum_segmented_bits)
 
 
 def exsum_segmented(x, segment_ids, num_segments: int) -> np.ndarray:

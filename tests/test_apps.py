@@ -129,3 +129,46 @@ def test_exsum_segmented_matches_scalar():
     for s in range(13):
         want = xb.exsum(x[ids == s], impl="xla")
         assert np.float64(out[s]).tobytes() == np.float64(want).tobytes()
+
+
+def test_kmeans_device_shuffle_invariant_and_exact():
+    """The fully device-resident k-means step: centers bit-identical under
+    point shuffles, and equal to exact exsum/count division given the same
+    membership (well-separated clusters make assignment unambiguous)."""
+    import numpy as np
+
+    import exblas_tpu as xb
+    from exblas_tpu.apps.kmeans import kmeans_device
+
+    rng = np.random.RandomState(7)
+    k, nf, per = 4, 3, 200
+    offs = np.array([[0.0, 0.0, 0.0], [100.0, 0, 0],
+                     [0, 100.0, 0], [0, 0, 100.0]])
+    pts = np.concatenate([
+        offs[c] + rng.uniform(-1, 1, (per, nf)) * np.exp2(
+            rng.randint(-12, 12, (per, nf)))
+        for c in range(k)])
+    init = offs + 0.25
+
+    outs = set()
+    mem0 = None
+    for trial in range(3):
+        perm = rng.permutation(len(pts))
+        centers, mem = kmeans_device(pts[perm], k, iters=3, init=init)
+        outs.add(centers.tobytes())
+        unshuffled = np.asarray(mem)[np.argsort(perm)]
+        if mem0 is None:
+            mem0 = unshuffled
+        else:
+            assert np.array_equal(mem0, unshuffled)
+    assert len(outs) == 1
+
+    # exact oracle: per-(cluster, feature) exsum / count, correctly-rounded
+    # division done in f64 on host (one op -- identical to f64_div)
+    centers, mem = kmeans_device(pts, k, iters=1, init=init)
+    for c in range(k):
+        members = pts[np.asarray(mem) == c]
+        for f in range(nf):
+            want = xb.exsum(members[:, f], impl="xla") / len(members)
+            assert np.float64(centers[c, f]).tobytes() == np.float64(
+                want).tobytes()
