@@ -46,17 +46,22 @@ def _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu):
 
     * ROUTE: ~1/8 samples of BOTH hi streams give per-vector anchor
       estimates and sampled spreads.  Sampled spreads only UNDERestimate,
-      so max(spread) past the widest window soundly proves no window
-      covers the data: straight to the VPU kernel, no wasted MXU pass.
+      so a spread past the widest window soundly proves no window covers
+      that vector: straight to the VPU kernel, no wasted MXU pass.
+    * Windows are picked PER VECTOR (the kernel's matmul work is
+      nwa * nwb plane pairs): an ill-conditioned dot against a narrow
+      vector runs (5, 3) = 15 pairs, not the symmetric (5, 5) = 25 --
+      asymmetric spreads are the common case for ill-conditioned data
+      (one generated wide vector x one data vector).
     * FAST: cross-plane MXU kernel at the sampled anchors with in-kernel
       per-element coverage checks (dot_mxu.py); a flagged element costs
       an exact-anchor (5,5) retry, then the exact VPU kernel.
-    * The widest (160-bit) tier runs with the anchor slack undone (the
-      +8 bump would shrink the usable window to 152 bits, making
-      near-full-window data -- ill-conditioned dots -- fail the sampled
-      pass every time); its routing threshold is 168 = 160 + slack since
-      the sampled spread carries the bump.  The in-kernel check still
-      backstops a sampling miss of the true maximum.
+    * A side on the widest (160-bit) tier runs with its anchor slack
+      undone (the +8 bump would shrink the usable window to 152 bits,
+      making near-full-window data -- ill-conditioned dots -- fail the
+      sampled pass every time); its routing threshold is 168 = 160 +
+      slack since the sampled spread carries the bump.  The in-kernel
+      check still backstops a sampling miss of the true maximum.
     """
     from .kernels.dot_mxu import dot_pad_rows, WIDE
     from .kernels.sum_mxu import (_ANCHOR_SLACK, exact_anchor,
@@ -67,32 +72,41 @@ def _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu):
     pad = r8 * WIDE - n
     ea_est, spread_a = sample_anchor(hi_a)
     eb_est, spread_b = sample_anchor(hi_b)
-    spread = jnp.maximum(spread_a, spread_b)
 
-    def tier(nw, deslack=0):
+    def tier(nwa, nwb):
+        dsa = _ANCHOR_SLACK if nwa == 5 else 0
+        dsb = _ANCHOR_SLACK if nwb == 5 else 0
+
         def f(_):
             # pad+reshape INSIDE the branch (captured from outside the
             # cond it materializes copies; here it fuses into the kernel)
             a = tuple(
                 jnp.pad(x, (0, pad)).reshape(r8, WIDE)
                 for x in (hi_a, lo_a, hi_b, lo_b))
-            out, bad = fast(*a, ea_est - deslack, eb_est - deslack, nw)
+            out, bad = fast(*a, ea_est - dsa, eb_est - dsb, nwa, nwb)
 
             def slow(_):
                 out2, bad2 = fast(*a, exact_anchor(hi_a),
-                                  exact_anchor(hi_b), 5)
+                                  exact_anchor(hi_b), 5, 5)
                 return jax.lax.cond(bad2, vpu, lambda _: out2,
                                     operand=None)
 
             return jax.lax.cond(bad, slow, lambda _: out, operand=None)
         return f
 
-    idx = jnp.where(spread <= 96, jnp.int32(0),
-                    jnp.where(spread <= 128, jnp.int32(1),
-                              jnp.where(spread <= 160 + _ANCHOR_SLACK,
-                                        jnp.int32(2), jnp.int32(3))))
-    return jax.lax.switch(
-        idx, [tier(3), tier(4), tier(5, deslack=_ANCHOR_SLACK), vpu], None)
+    def side_tier(spread):
+        return jnp.where(
+            spread <= 96, jnp.int32(0),
+            jnp.where(spread <= 128, jnp.int32(1),
+                      jnp.where(spread <= 160 + _ANCHOR_SLACK,
+                                jnp.int32(2), jnp.int32(3))))
+
+    ta, tb = side_tier(spread_a), side_tier(spread_b)
+    nws = (3, 4, 5)
+    branches = [tier(na, nb) for na in nws for nb in nws] + [vpu]
+    idx = jnp.where(jnp.logical_or(ta >= 3, tb >= 3),
+                    jnp.int32(9), ta * 3 + tb)
+    return jax.lax.switch(idx, branches, None)
 
 
 @jax.jit
@@ -100,8 +114,8 @@ def _exdot_bits_mxu_auto(hi_a, lo_a, hi_b, lo_b):
     from .kernels.dot_kernel import exdot_bits_pallas
     from .kernels.dot_mxu import dot_bits_mxu
 
-    def fast(ha, la, hb, lb, ea, eb, nw):
-        return dot_bits_mxu(ha, la, hb, lb, ea, eb, nwa=nw, nwb=nw)
+    def fast(ha, la, hb, lb, ea, eb, nwa, nwb):
+        return dot_bits_mxu(ha, la, hb, lb, ea, eb, nwa=nwa, nwb=nwb)
 
     def vpu(_):
         return exdot_bits_pallas(hi_a, lo_a, hi_b, lo_b)
@@ -122,9 +136,9 @@ def _exdot_acc_mxu_auto(hi_a, lo_a, hi_b, lo_b) -> Superacc:
                         special=jnp.zeros((3,), jnp.int32),
                         fmt=DOT_FORMAT)
 
-    def fast(ha, la, hb, lb, ea, eb, nw):
+    def fast(ha, la, hb, lb, ea, eb, nwa, nwb):
         limbs, bad = dot_acc_limbs_mxu(ha, la, hb, lb, ea, eb,
-                                       nwa=nw, nwb=nw)
+                                       nwa=nwa, nwb=nwb)
         return as_acc(limbs), bad
 
     def vpu(_):

@@ -210,18 +210,20 @@ def _trsv_lower_pallas_jit(t_hi, t_lo, b_hi, b_lo, unit: bool):
     """Full lower solve via the left-looking Pallas kernel (TPU hot path).
 
     Pads n up to a multiple of 128 with an identity diagonal (padded rows
-    solve to x = 0 and deposit nothing), transposes T once (the kernel wants
-    solved-column-major blocks), and packs the kernel's (nblocks, 128) lane
-    layout back to (n,) u64 bits.  Bit-identical to :func:`_trsv_lower_jit`.
+    solve to x = 0 and deposit nothing) and packs the kernel's
+    (nblocks, 128) lane layout back to (n,) u64 bits.  The kernel reads T
+    row-major and transposes blocks in-register, so no transposed copy of
+    T is materialized (that copy OOM'd n=32768: 8 GB matrix + 8 GB copy).
+    Bit-identical to :func:`_trsv_lower_jit`.
     """
     from .kernels.trsv_kernel import B, trsv_lower_x_pallas
 
     n = b_hi.shape[0]
     npad = -(-n // B) * B
     nb = npad // B
-    t_hi = jnp.pad(t_hi, ((0, npad - n), (0, npad - n)))
-    t_lo = jnp.pad(t_lo, ((0, npad - n), (0, npad - n)))
     if npad > n:
+        t_hi = jnp.pad(t_hi, ((0, npad - n), (0, npad - n)))
+        t_lo = jnp.pad(t_lo, ((0, npad - n), (0, npad - n)))
         # identity on the padded diagonal (1.0 = hi 0x3FF00000)
         ri = jax.lax.broadcasted_iota(_I32, (npad, npad), 0)
         ci = jax.lax.broadcasted_iota(_I32, (npad, npad), 1)
@@ -230,7 +232,7 @@ def _trsv_lower_pallas_jit(t_hi, t_lo, b_hi, b_lo, unit: bool):
     b_hi = jnp.pad(b_hi, (0, npad - n)).reshape(nb, B)
     b_lo = jnp.pad(b_lo, (0, npad - n)).reshape(nb, B)
 
-    x_hi, x_lo = trsv_lower_x_pallas(t_hi.T, t_lo.T, b_hi, b_lo, unit=unit)
+    x_hi, x_lo = trsv_lower_x_pallas(t_hi, t_lo, b_hi, b_lo, unit=unit)
     x_hi = x_hi.reshape(-1)[:n]
     x_lo = x_lo.reshape(-1)[:n]
     return (x_hi.astype(_U64) << _U64(32)) | x_lo.astype(_U64)

@@ -111,9 +111,10 @@ def _deposit_chunk(acc, spec, a_hi, a_lo, x_hi, x_lo):
     _dot_block(a_hi, a_lo, x_hi, x_lo, acc, spec, B)
 
 
-def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
+def _trsv_kernel(t_hi_ref, t_lo_ref, b_hi_ref, b_lo_ref,
                  x_hi_out, x_lo_out,
-                 acc, spec, dacc, xsub_hi, xsub_lo, *, unit: bool):
+                 acc, spec, dacc, xsub_hi, xsub_lo, tdg_hi, tdg_lo,
+                 *, unit: bool):
     kb = pl.program_id(0)
     kc = pl.program_id(1)
     w = xsub_hi.shape[1]  # x staging width: nblocks padded to lane tiles
@@ -151,17 +152,19 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
 
     @pl.when(kc < kb)
     def _():
-        # GEMV chunk: deposit -T[rows kb, cols kc] * x[kc].  tt block is
-        # T^T[(kc), (kb)] = reduction index (solved column) in sublanes,
-        # output row in lanes.
+        # GEMV chunk: deposit -T[rows kb, cols kc] * x[kc].  The block is
+        # T[(kb), (kc)] read row-major and transposed in-register so the
+        # reduction index (solved column) lands in sublanes and the output
+        # row in lanes -- no 8-byte/element T^T copy in HBM (at n=32768
+        # that copy alone is 8 GB and OOMs the chip).
         xs_h = _u(jnp.broadcast_to(jnp.sum(
             jnp.where(lane_bw == kc, _i(xsub_hi[...]), _I(0)),
             axis=1, keepdims=True, dtype=_I), (B, B)))
         xs_l = _u(jnp.broadcast_to(jnp.sum(
             jnp.where(lane_bw == kc, _i(xsub_lo[...]), _I(0)),
             axis=1, keepdims=True, dtype=_I), (B, B)))
-        a_hi = tt_hi_ref[...] ^ _U(0x80000000)
-        a_lo = tt_lo_ref[...]
+        a_hi = jnp.transpose(t_hi_ref[...]) ^ _U(0x80000000)
+        a_lo = jnp.transpose(t_lo_ref[...])
         _deposit_chunk(acc, spec, a_hi, a_lo, xs_h, xs_l)
 
         @pl.when(jnp.bitwise_and(kc + 1, _I(RENORM_EVERY - 1)) == 0)
@@ -171,6 +174,11 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
     @pl.when(kc == kb)
     def _():
         _renorm8(acc)
+
+        # Stage the transposed diagonal block once: the 128-step solve
+        # below slices it by solved column (sublane i = column base+i).
+        tdg_hi[...] = jnp.transpose(t_hi_ref[...])
+        tdg_lo[...] = jnp.transpose(t_lo_ref[...])
 
         # Merge the 8 k-phases into the (L, 128) solve accumulator,
         # tracking the occupied limb range: the per-step rounding then
@@ -195,8 +203,8 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
                                              j_lo=jlo, j_hi=jhi)
             num_hi = _lane_bcast(num_hi, lane, i)
             num_lo = _lane_bcast(num_lo, lane, i)
-            tcol_hi = tt_hi_ref[pl.ds(i, 1), :]  # T[base+j, base+i], j lanes
-            tcol_lo = tt_lo_ref[pl.ds(i, 1), :]
+            tcol_hi = tdg_hi[pl.ds(i, 1), :]  # T[base+j, base+i], j lanes
+            tcol_lo = tdg_lo[pl.ds(i, 1), :]
             if unit:
                 xq_hi, xq_lo = num_hi, num_lo
             else:
@@ -256,17 +264,19 @@ def _trsv_kernel(tt_hi_ref, tt_lo_ref, b_hi_ref, b_lo_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("unit",))
-def trsv_lower_x_pallas(tt_hi, tt_lo, b_hi, b_lo, unit: bool = False):
+def trsv_lower_x_pallas(t_hi, t_lo, b_hi, b_lo, unit: bool = False):
     """Solve lower-triangular T x = b on TPU; returns x bits.
 
-    tt: (n, n) bit pair of T^T (column-major T) with n a multiple of 128 and
-    the padded diagonal set to 1.0; b: (nblocks, 128) bit pair.
+    t: (n, n) bit pair of T (row-major) with n a multiple of 128 and the
+    padded diagonal set to 1.0; b: (nblocks, 128) bit pair.  Blocks are
+    transposed in-kernel (sublane/lane swap), so no transposed copy of T
+    is ever materialized in HBM.
     Returns (x_hi, x_lo) uint32 of shape (nblocks, 128).
 
     Solved x blocks are staged in a (128, W) VMEM scratch, one lane per
     block (W = nblocks padded to lane tiles), so n is VMEM-bound only.
     """
-    n = tt_hi.shape[0]
+    n = t_hi.shape[0]
     assert n % B == 0
     nblocks = n // B
     w = -(-nblocks // B) * B
@@ -276,9 +286,9 @@ def trsv_lower_x_pallas(tt_hi, tt_lo, b_hi, b_lo, unit: bool = False):
         functools.partial(_trsv_kernel, unit=unit),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, B), lambda kb, kc: (kc, kb),
+            pl.BlockSpec((B, B), lambda kb, kc: (kb, kc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, B), lambda kb, kc: (kc, kb),
+            pl.BlockSpec((B, B), lambda kb, kc: (kb, kc),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nblocks, B), lambda kb, kc: (_Z, _Z),
                          memory_space=pltpu.VMEM),
@@ -301,5 +311,7 @@ def trsv_lower_x_pallas(tt_hi, tt_lo, b_hi, b_lo, unit: bool = False):
             pltpu.VMEM((L, B), jnp.int32),       # solve accumulator
             pltpu.VMEM((B, w), jnp.uint32),      # solved x, hi words
             pltpu.VMEM((B, w), jnp.uint32),      # solved x, lo words
+            pltpu.VMEM((B, B), jnp.uint32),      # transposed diag, hi
+            pltpu.VMEM((B, B), jnp.uint32),      # transposed diag, lo
         ],
-    )(tt_hi, tt_lo, b_hi, b_lo)
+    )(t_hi, t_lo, b_hi, b_lo)

@@ -69,7 +69,8 @@ def test_cancellation_exact_zero():
 
 
 def test_asymmetric_spreads_route_on_max():
-    """a narrow, b wide: the (4,4) tier must cover b's 103-bit spread."""
+    """a narrow, b wide: routes the asymmetric (3,4)/(4,3) tier -- b's
+    103-bit spread picks 4 windows, a's narrow spread only 3."""
     import exblas_tpu as xb
 
     a = xb.init_fpuniform(3000, 2, 0, seed=35)
@@ -80,7 +81,9 @@ def test_asymmetric_spreads_route_on_max():
 
 def test_illcond_nw5_tier():
     """Ogita ill-conditioned dot data (condition 1e30) rides the 160-bit
-    tier; huge condition falls back to the VPU kernel."""
+    tier on its side only -- the (5,3) asymmetric branch (the narrow
+    second vector keeps 3 windows); huge condition falls back to the
+    VPU kernel."""
     import exblas_tpu as xb
 
     a = xb.init_ill_cond(3000, 1e30, seed=37)
