@@ -20,6 +20,10 @@ overhead: ladder-tier = routing, tier-kernel = epilogue, sample = sampling.
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -35,7 +39,9 @@ def main():
     from exblas_tpu.ops.kernels.sum_mxu import sample_anchor
     from exblas_tpu.utils.bench_utils import amortized_seconds
 
-    n = 1 << 23
+    import sys
+
+    n = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 23)
     a = xb.init_fpuniform(n, 2, 0, seed=7)
     b = xb.init_fpuniform(n, 2, 0, seed=8)
     ab, bb = split_f64(a), split_f64(b)

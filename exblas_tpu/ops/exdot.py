@@ -48,6 +48,12 @@ def _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu):
       estimates and sampled spreads.  Sampled spreads only UNDERestimate,
       so a spread past the widest window soundly proves no window covers
       that vector: straight to the VPU kernel, no wasted MXU pass.
+      A sampled spread in a guard band just below a tier boundary is
+      resolved with one exact full_anchor pass (sum_mxu.resolve_anchor):
+      routing on the underestimate would fail the in-kernel check and pay
+      a full retry pass EVERY call (observed: ill-cond n=2^24 sampled 126
+      vs true 134 bits ran at 109 GB/s, below the 164 GB/s VPU fallback;
+      resolved routing runs 174 GB/s).
     * Windows are picked PER VECTOR (the kernel's matmul work is
       nwa * nwb plane pairs): an ill-conditioned dot against a narrow
       vector runs (5, 3) = 15 pairs, not the symmetric (5, 5) = 25 --
@@ -65,13 +71,14 @@ def _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu):
     """
     from .kernels.dot_mxu import dot_pad_rows, WIDE
     from .kernels.sum_mxu import (_ANCHOR_SLACK, exact_anchor,
-                                  sample_anchor)
+                                  resolve_anchor, sample_anchor)
 
     n = hi_a.shape[0]
     r8 = dot_pad_rows(n)
     pad = r8 * WIDE - n
-    ea_est, spread_a = sample_anchor(hi_a)
-    eb_est, spread_b = sample_anchor(hi_b)
+    bnds = (96, 128, 160 + _ANCHOR_SLACK)
+    ea_est, spread_a = resolve_anchor(hi_a, *sample_anchor(hi_a), bnds)
+    eb_est, spread_b = resolve_anchor(hi_b, *sample_anchor(hi_b), bnds)
 
     def tier(nwa, nwb):
         dsa = _ANCHOR_SLACK if nwa == 5 else 0

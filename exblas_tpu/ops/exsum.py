@@ -68,13 +68,15 @@ def _exsum_bits_mxu_auto(hi, lo):
     """
     from .kernels.sum_kernel import exsum_bits_pallas
     from .kernels.sum_mxu import (_ANCHOR_SLACK as _SUM_SLACK,
-                                  exact_anchor, sample_anchor,
-                                  sum_bits_mxu, sum_pad_rows)
+                                  exact_anchor, resolve_anchor,
+                                  sample_anchor, sum_bits_mxu,
+                                  sum_pad_rows)
 
     n = hi.shape[0]
     r_pad = sum_pad_rows(n)
     pad = r_pad * 128 - n
-    e_est, spread_est = sample_anchor(hi)
+    e_est, spread_est = resolve_anchor(
+        hi, *sample_anchor(hi), (96, 128, 160 + _SUM_SLACK))
 
     def vpu(_):
         return exsum_bits_pallas(hi, lo)
@@ -152,14 +154,16 @@ def _exsum_acc_mxu_auto(hi, lo) -> Superacc:
     identical to the VPU/XLA accumulators'."""
     from .kernels.sum_kernel import exsum_pallas
     from .kernels.sum_mxu import (_ANCHOR_SLACK as _SUM_SLACK,
-                                  exact_anchor, sample_anchor,
-                                  sum_acc_limbs_mxu, sum_pad_rows)
+                                  exact_anchor, resolve_anchor,
+                                  sample_anchor, sum_acc_limbs_mxu,
+                                  sum_pad_rows)
     from ..core.accumulator import to_int32_limbs
 
     n = hi.shape[0]
     r_pad = sum_pad_rows(n)
     pad = r_pad * 128 - n
-    e_est, spread_est = sample_anchor(hi)
+    e_est, spread_est = resolve_anchor(
+        hi, *sample_anchor(hi), (96, 128, 160 + _SUM_SLACK))
 
     def vpu(_):
         return exsum_pallas(hi, lo)

@@ -105,6 +105,22 @@ def sample_anchor(hi):
         s = jnp.concatenate([body, hi[-_SAMPLE_CHUNK:]])
     else:
         s = hi
+    return _anchor_spread(s)
+
+
+def full_anchor(hi):
+    """Exact (anchor, spread) in sample_anchor's convention — one full
+    streaming reduce over the hi words.  Routing on these values can
+    never under-cover: the spread is an exponent-field UPPER bound on the
+    occupied bits of every element, so any tier whose window admits it
+    passes the in-kernel per-element check by construction (specials
+    still drive the anchor past every window -> VPU).  Used by the
+    dispatchers to resolve guard-band-ambiguous sampled spreads instead
+    of paying a wasted full MXU pass on a tier miss."""
+    return _anchor_spread(hi)
+
+
+def _anchor_spread(s):
     expf = (jax.lax.bitcast_convert_type(s, _I) >> _I(20)) & _I(0x7FF)
     anchor = jnp.max(expf) - _I(1023) + _I(_ANCHOR_SLACK)
     # lsb bound from the exponent field alone.  expf == 0 entries
@@ -117,6 +133,31 @@ def sample_anchor(hi):
     lsb = jnp.min(jnp.where(expf >= _I(1), expf - _I(1075), _I(2000)))
     spread = jnp.where(lsb >= _I(2000), _I(61), anchor - lsb + _I(1))
     return anchor, spread
+
+
+# A sampled spread this close below a tier boundary is AMBIGUOUS: the
+# true spread may sit just past the boundary, and routing on it would
+# buy a guaranteed in-kernel miss + full-pass retry.  The dispatchers
+# resolve ambiguity with one full_anchor pass (~1/4 of one stream's
+# bytes) — far cheaper than the wasted kernel pass, and the exact spread
+# then routes optimally (observed: ill-cond at n=2^24 sampled 126 bits
+# vs true 134 -> 128-bit tier miss -> every call re-ran at the exact
+# anchor, landing the MXU path BELOW the VPU fallback).
+_GUARD_BITS = 16
+
+
+def resolve_anchor(hi, e_est, spread_est, boundaries):
+    """Return (anchor, spread) for routing: the sampled pair, or the
+    exact pair when ``spread_est`` lies in a guard band just below any
+    of the (python int) tier ``boundaries``."""
+    amb = False
+    for b in boundaries:
+        amb = jnp.logical_or(
+            amb, jnp.logical_and(spread_est > _I(b - _GUARD_BITS),
+                                 spread_est <= _I(b)))
+    return jax.lax.cond(
+        amb, lambda _: full_anchor(hi),
+        lambda _: (e_est, spread_est), None)
 
 
 def exact_anchor(hi):

@@ -187,3 +187,37 @@ def test_acc_ladder_superacc_and_merge():
             acc = _exsum_acc_mxu_auto(b.hi, b.lo)
         got = np.uint64(np.asarray(round_superacc_to_f64_bits(acc)))
         assert got == np.float64(math.fsum(data)).view(np.uint64)
+
+
+def test_resolve_anchor_guard_band():
+    """Guard-band routing (kernels/sum_mxu.resolve_anchor): a sampled
+    spread just below a tier boundary is resolved with the exact
+    full_anchor pass (routing on an underestimate would buy a guaranteed
+    in-kernel miss + full-pass retry -- observed live: ill-cond n=2^24
+    sampled 126 vs true 134 put the MXU dot BELOW its VPU fallback);
+    an unambiguous sampled spread is returned untouched."""
+    import jax.numpy as jnp
+    from exblas_tpu.ops.kernels.sum_mxu import (
+        _GUARD_BITS, full_anchor, resolve_anchor, sample_anchor)
+
+    # Construct data whose sampled spread underestimates: the extreme
+    # (smallest) elements live in chunks the 1/8 sampler skips.
+    n = 8192 * 33
+    x = np.full(n, 1.0)
+    x[8192 * 9 + 5] = np.ldexp(1.0, -130)      # widens true spread
+    hi = split_f64(x).hi
+    e_s, sp_s = sample_anchor(hi)
+    e_f, sp_f = full_anchor(hi)
+    assert int(sp_f) > int(sp_s), "sampler must miss the planted element"
+
+    e_r, sp_r = resolve_anchor(hi, e_s, sp_s, (int(sp_s) + 4,))
+    assert (int(e_r), int(sp_r)) == (int(e_f), int(sp_f))  # in band: exact
+    e_r, sp_r = resolve_anchor(hi, e_s, sp_s,
+                               (int(sp_s) + _GUARD_BITS + 4,))
+    assert (int(e_r), int(sp_r)) == (int(e_s), int(sp_s))  # out: sampled
+
+    # full_anchor covers every element by construction: anchor bound and
+    # exponent-field lsb bound enclose all occupied bits.
+    expf = (hi.astype(np.int64) >> 20) & 0x7FF
+    assert int(e_f) - 8 == int(np.max(expf)) - 1023
+    assert int(sp_f) == int(e_f) - (int(np.min(expf[expf >= 1])) - 1075) + 1
