@@ -1,4 +1,7 @@
-"""Decompose the ExDOT MXU auto ladder's fixed overhead at n=2^23.
+"""Decompose the ExDOT MXU auto ladder's fixed overhead.
+
+n defaults to 2^23; pass log2(n) as the sole argv parameter to change it
+(e.g. ``python benchmarks/bench_dot_overhead.py 24`` for n=2^24).
 
 The end-to-end ladder runs well below the raw kernel rate (DESIGN.md
 roadmap item 3).  This harness times each stage separately with the
@@ -38,8 +41,6 @@ def main():
         WIDE, _run_dot_kernel, dot_bits_mxu, dot_pad_rows)
     from exblas_tpu.ops.kernels.sum_mxu import sample_anchor
     from exblas_tpu.utils.bench_utils import amortized_seconds
-
-    import sys
 
     n = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 23)
     a = xb.init_fpuniform(n, 2, 0, seed=7)

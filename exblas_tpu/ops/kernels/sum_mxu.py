@@ -110,11 +110,15 @@ def sample_anchor(hi):
 
 def full_anchor(hi):
     """Exact (anchor, spread) in sample_anchor's convention — one full
-    streaming reduce over the hi words.  Routing on these values can
-    never under-cover: the spread is an exponent-field UPPER bound on the
-    occupied bits of every element, so any tier whose window admits it
-    passes the in-kernel per-element check by construction (specials
-    still drive the anchor past every window -> VPU).  Used by the
+    streaming reduce over the hi words.  For data without nonzero
+    subnormals, routing on these values can never under-cover: the
+    spread is then an exponent-field UPPER bound on the occupied bits of
+    every element, so any tier whose window admits it passes the
+    in-kernel per-element check by construction (specials still drive
+    the anchor past every window -> VPU).  Nonzero subnormals (expf==0)
+    are excluded from the lsb min, so exact-resolved routing can still
+    flag in-kernel and pay the exact-anchor retry + VPU fallback — the
+    in-kernel check backstops correctness either way.  Used by the
     dispatchers to resolve guard-band-ambiguous sampled spreads instead
     of paying a wasted full MXU pass on a tier miss."""
     return _anchor_spread(hi)
@@ -138,8 +142,8 @@ def _anchor_spread(s):
 # A sampled spread this close below a tier boundary is AMBIGUOUS: the
 # true spread may sit just past the boundary, and routing on it would
 # buy a guaranteed in-kernel miss + full-pass retry.  The dispatchers
-# resolve ambiguity with one full_anchor pass (~1/4 of one stream's
-# bytes) — far cheaper than the wasted kernel pass, and the exact spread
+# resolve ambiguity with one full_anchor pass (4 bytes/element — the hi
+# words) — far cheaper than the wasted kernel pass, and the exact spread
 # then routes optimally (observed: ill-cond at n=2^24 sampled 126 bits
 # vs true 134 -> 128-bit tier miss -> every call re-ran at the exact
 # anchor, landing the MXU path BELOW the VPU fallback).
