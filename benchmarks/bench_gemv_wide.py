@@ -48,9 +48,11 @@ def main():
         return f
 
     # per-row spread ~ rng_bits + 54; rungs cover 64*nwa-ish anchored bits
+    # (round-4: (12,7)/(16,7) extend A-side coverage to 384/512 bits)
     for label, rng_bits in (("rung(3,3)~96b", 40), ("rung(4,4)~128b", 70),
                             ("rung(5,4)~160b", 100), ("rung(6,5)~192b", 135),
-                            ("rung(8,6)~256b", 195), ("vpu(>256b)", 280)):
+                            ("rung(8,6)~256b", 195), ("rung(12,7)~384b", 310),
+                            ("rung(16,7)~512b", 440), ("vpu(>512b)", 490)):
         a = xb.init_fpuniform_matrix(m, k, rng_bits, -rng_bits // 2, seed=3)
         x = xb.init_fpuniform(k, min(rng_bits, 130), 0, seed=4)
         ab, xb_ = split_f64(a), split_f64(x)

@@ -127,16 +127,21 @@ def _validate_fpe(fpe: int):
 # cheapest pair with spread_a <= 8*sa and spread_b <= 8*sb (and beta*c
 # coverage) wins.  Asymmetric pairs serve mixed-spread operands: narrow
 # A x wide B runs (8, 12) = 117 products instead of the symmetric 169.
-# The wide rungs (20..32 slices = 160..256 anchored bits per side) are
-# the round-3 dynamic-range extension: cost grows as the product of the
-# slice counts -- the information-theoretic floor for a dense byte-slice
-# decomposition (each side needs spread/8 byte planes and every plane
-# pair is a distinct exact int8 matmul) -- so e.g. ill-conditioned data
-# at c=1e50 (spread ~137-166 bits) runs the (20, 20) or (24, 24) rung at
-# ~1/5 the covered-data rate instead of falling ~500x to the VPU kernel.
+# The wide rungs (20..64 slices = 160..512 anchored bits per side) are
+# the round-3/4 dynamic-range extension: cost grows as the product of
+# the slice counts -- the information-theoretic floor for a dense
+# byte-slice decomposition (each side needs spread/8 byte planes and
+# every plane pair is a distinct exact int8 matmul) -- so e.g.
+# ill-conditioned data at c=1e50 (spread ~137-166 bits) runs the
+# (20, 20) or (24, 24) rung at ~1/5 the covered-data rate instead of
+# falling ~500x to the VPU kernel.  The top rungs (40..64 slices = 320..
+# 512 bits) keep even extreme spreads ~10x above the VPU fallback
+# (~0.06 TFLOP-equiv/s at (64, 64) vs ~0.006 exact-VPU); only data whose
+# per-row/column spread exceeds 512 bits still leaves the MXU.
 _MXU_LADDER = ((8, 8), (8, 12), (12, 8), (8, 16), (16, 8),
                (12, 12), (12, 16), (16, 12), (16, 16),
-               (16, 20), (20, 16), (20, 20), (24, 24), (28, 28), (32, 32))
+               (16, 20), (20, 16), (20, 20), (24, 24), (28, 28), (32, 32),
+               (40, 40), (48, 48), (64, 64))
 
 
 def _decode_indicators(hi, lo):

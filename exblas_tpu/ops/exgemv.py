@@ -153,13 +153,16 @@ def _validate_fpe(fpe: int):
 
 # (nwa, nwz) word counts: 32*nwa / 32*nwz anchored bits per side.  The
 # ladder picks the narrowest rung covering BOTH the per-row A spreads and
-# the z spread; data past 256/192 bits falls back to the exact VPU
+# the z spread; data past 512/224 bits falls back to the exact VPU
 # kernel.  Unlike GEMM (whose matmul count grows as the product of the
 # slice counts), GEMV stays VPU-decode/HBM-bound: the wide rungs cost
-# only extra word-slicing ops per element (~8/word + a log word-shifter),
-# so 256-bit data runs at a large fraction of the covered rate instead
-# of dropping to the VPU kernel (round-3 extension; was capped at 128).
-_GEMV_RUNGS = ((2, 2), (3, 3), (4, 4), (5, 4), (6, 5), (8, 6))
+# only extra word-slicing ops per element (~8/word + a log word-shifter)
+# plus one int8 matmul per word, so even 512-bit rows run at a large
+# fraction of the covered rate instead of dropping to the VPU kernel
+# (round-3 extension to 256; round-4 to 512.  The z side is capped at
+# 224 bits = 29 digits by the 32-sublane z-digit block, make_z_digits).
+_GEMV_RUNGS = ((2, 2), (3, 3), (4, 4), (5, 4), (6, 5), (8, 6),
+               (12, 7), (16, 7))
 
 
 def _gemv_special_rows(a_hi, a_lo, z_hi, z_lo):

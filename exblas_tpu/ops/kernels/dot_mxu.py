@@ -29,9 +29,12 @@ the MXU:
   excess-128 identity   a*b = (S_a + C_a - 2^Wa n_a)(S_b + C_b - 2^Wb n_b)
   summed over elements, where every cross term is an r-matched slice of D
   (plane-pair sums, plane sums via the ones row, sign-mask cross sums,
-  negative counts), deposit into ~22 relative limbs, canonicalize, and
-  either round once (bits path) or shift into the absolute DOT_FORMAT
-  accumulator (Superacc path -- the distributed psum wire format).
+  negative counts), yielding ~2(na+nb) static-position int64 terms; the
+  bits path rounds them in ONE Pallas launch (round_scaled_terms -- the
+  XLA limb-build + canonicalize + round tail was ~150 tiny ops of pure
+  launch overhead), while the Superacc path builds ~22 relative limbs
+  and shifts them into the absolute DOT_FORMAT accumulator (the
+  distributed psum wire format).
 
 Coverage contract: every element of a (resp. b) must have all its bits in
 [EA+1-Wa, EA] -- checked PER ELEMENT inside the kernel (`bad` output), so
@@ -55,8 +58,7 @@ import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.rounding import canonicalize_digits, round_digits_to_f64_bits
-from ...core.types import LIMB_BITS, AccFormat
+from ...core.types import LIMB_BITS
 from .gemv_mxu import _slice_byte_words
 
 _I = jnp.int32
@@ -182,9 +184,13 @@ def _run_dot_kernel(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
     return d, jnp.max(flag) > 0
 
 
-def _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
-    """Exact relative limbs of the dot product: rel bit p has exponent
-    p + ea + eb + 2 - 32*(nwa + nwb).  Returns (limbs int64 (L,), bad).
+def _dot_epilogue_terms(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
+                        nwa: int, nwb: int):
+    """Kernel + extraction: the dot value as a static-position term sum.
+
+    Returns (vals int64 (T,), bits_pos tuple, bad, l_rel):
+    sum = sum_t vals[t] * 2^(bits_pos[t]) in the relative frame whose bit
+    p has exponent p + ea + eb + 2 - 32*(nwa + nwb).
 
     Epilogue of the excess-128 identity, summed over every slot e
     (zero-padded slots contribute exactly 0 -- their bytes are all -128,
@@ -239,9 +245,6 @@ def _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
          + _I64(128 * 128 * n_slots))
     tot = sum(jnp.pad(m[pa], (pa, na - 1 - pa)) for pa in range(na))
 
-    # one vectorized limb build: every term's (bit, value) with bit
-    # static; value split at 32 bits so each chunk shifted by < 20 stays
-    # far below int64 (per-limb fan-in ~8 chunks of < 2^52 each).
     vals = jnp.concatenate([
         tot,                                       # at bits 8c
         -(dsn + _I64(128) * nb_tot),               # at bits w_b + 8pa
@@ -252,6 +255,21 @@ def _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
                 + [w_b + 8 * p for p in range(na)]
                 + [w_a + 8 * p for p in range(nb)]
                 + [w_a + w_b])
+    return vals, tuple(bits_pos), bad, l_rel
+
+
+def _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
+    """Exact relative limbs of the dot product: rel bit p has exponent
+    p + ea + eb + 2 - 32*(nwa + nwb).  Returns (limbs int64 (L,), bad).
+
+    One vectorized limb build: every term's (bit, value) with bit static;
+    value split at 32 bits so each chunk shifted by < 20 stays far below
+    int64 (per-limb fan-in ~8 chunks of < 2^52 each).  Used by the
+    Superacc (absolute wire format) path; the bits path rounds the terms
+    directly in one Pallas launch (round_scaled_terms).
+    """
+    vals, bits_pos, bad, l_rel = _dot_epilogue_terms(
+        hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa, nwb)
     wl = _np.zeros((len(bits_pos), l_rel), _np.int64)
     wh = _np.zeros((len(bits_pos), l_rel), _np.int64)
     for t, bit in enumerate(bits_pos):
@@ -276,17 +294,20 @@ def dot_bits_mxu(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
     bits and a bool that is True when ANY element was not covered by its
     anchor window (or was NaN/Inf) -- the bits must then be discarded.
     Exactness: covered elements are exact W-bit fixed-point integers,
-    every cross sum is exact int32/int64, the epilogue is exact int64
-    limb arithmetic -> one correct rounding.
+    every cross sum is exact int32/int64, the epilogue terms are exact
+    int64 -> one correct rounding (round_scaled_terms: the limb build +
+    canonicalize + round tail runs in ONE Pallas launch instead of ~150
+    tiny XLA ops -- the fixed overhead that held the n=2^23 ladder ~30%
+    below the kernel rate, DESIGN.md roadmap item 3).
     """
-    limbs, bad = _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
-                                nwa, nwb)
-    digits, negative = canonicalize_digits(limbs[None, :])
-    fmt = AccFormat(n_limbs=limbs.shape[0], offset_bits=0)
+    vals, bits_pos, bad, l_rel = _dot_epilogue_terms(
+        hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa, nwb)
+    from .round_in_kernel import round_scaled_terms
+
     e_adj = ea + eb + _I(2) - _I(32 * (nwa + nwb))
-    bits = round_digits_to_f64_bits(digits, negative, fmt,
-                                    e_adjust=e_adj.reshape(1))
-    return bits[0], bad
+    hi, lo = round_scaled_terms(vals, bits_pos, e_adj, l_rel)
+    bits = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    return bits, bad
 
 
 @functools.partial(jax.jit, static_argnames=("nwa", "nwb"))

@@ -78,8 +78,9 @@ MAX_K_MXU = 1024 * SPILL_K
 def _rung_params(nwa: int, nwz: int, k_pad: int = SPILL_K):
     """Static geometry for a (nwa, nwz)-word rung.
 
-    nwa: 32-bit words per A element (2 or 3 -> W = 64 / 96 anchored bits).
-    nwz: words per z element (Wz = 64 / 96; NZ = Wz/8 + 1 balanced digits).
+    nwa: 32-bit words per A element (2..16 -> W = 64..512 anchored bits).
+    nwz: words per z element (Wz = 32*nwz; NZ = Wz/8 + 1 balanced digits;
+    nwz <= 7 so NZ fits make_z_digits' 32-sublane digit block).
     k_pad: padded column count -- class totals reach k_pad * 2^14, so the
     accumulator top grows by log2(k_pad / 2^15) bits beyond the one-spill
     geometry.  (beta*y lives in the XLA-side absolute accumulator, not
@@ -259,6 +260,7 @@ def make_z_digits(z_hi, z_lo, f_anchor, nwz: int):
     """
     w_z = 32 * nwz
     nz = w_z // 8 + 1
+    assert nz <= 32, "z-digit block holds 32 sublanes: nwz <= 7"
     his = jax.lax.bitcast_convert_type(z_hi, _I)
     expf = (his >> _I(20)) & _I(0x7FF)
     special = expf == _I(0x7FF)

@@ -13,9 +13,13 @@ Counterpart of the reference's on-device Round() in its completion kernels
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ...core.rounding import ieee_encode_round_pair
 from ...core.types import LIMB_BITS, LIMB_MASK
@@ -273,3 +277,111 @@ def round_lanes_acc(dacc, spec, n_limbs, offset_bits, e_adjust=None,
     hi32 = jnp.where(is_nan, _U(0x7FF80000), hi32)
     lo32 = jnp.where(is_nan, _U(0), lo32)
     return hi32, lo32
+
+
+# ---------------------------------------------------------------------------
+# One-launch rounding of a static-position scaled-term sum
+# ---------------------------------------------------------------------------
+#
+# The MXU sum/dot epilogues reduce to "correctly round V = sum_t v_t *
+# 2^(p_t)" for <= 128 int64 terms v_t at STATIC bit positions p_t.  Doing
+# the limb build + canonicalize + round at the XLA level costs ~150 tiny
+# tensor ops -- ~0.1-0.25 ms of pure launch overhead per call on this
+# chip, a large slice of the whole n=2^23 dot ladder (DESIGN.md roadmap
+# item 3).  This kernel does the entire tail in ONE launch: each lane
+# owns one term, deposits its three 16-bit pieces into a per-lane
+# relative limb accumulator at its lane's static position, lanes are
+# folded exactly (12-bit split through one f32 selection matmul --
+# cross-lane compaction has no cheap VPU form, cf. gemv_mxu.
+# _fold_byte_lanes), and round_lanes_acc rounds the single result.
+
+def _round_terms_kernel(vl_ref, vm_ref, vh_ref, bof_ref, eadj_ref,
+                        out_ref, acc, dacc, *, l_pad):
+    bofs = bof_ref[0:1, :]
+
+    # per-lane deposits: term t contributes v_part * 2^(bofs[t] + 16*part).
+    # Each (part, term) lands in exactly one limb row j0 = bit//20 with
+    # in-limb shift sh in [0, 20): value-preserving split v*2^sh =
+    # low + h*2^20 (h arithmetic-shifted: exact for the signed high part
+    # too), low -> row j0, h -> row j0+1.
+    acc[...] = jnp.zeros_like(acc)
+    for part, ref in ((0, vl_ref), (16, vm_ref), (32, vh_ref)):
+        v = ref[0:1, :]
+        bit = bofs + _I(part)
+        for j in range(l_pad):
+            sh = bit - _I(LIMB_BITS * j)
+            in_w = jnp.logical_and(sh >= 0, sh < _I(LIMB_BITS))
+            shp = _clip(sh, 0, LIMB_BITS - 1)
+            k = _I(LIMB_BITS) - shp              # in [1, 20]
+            h = v >> k
+            low = (v - (h << k)) << shp
+            acc[pl.ds(j, 1), :] += jnp.where(in_w, low, _I(0))
+            if j + 1 < l_pad:
+                acc[pl.ds(j + 1, 1), :] += jnp.where(in_w, h, _I(0))
+
+    # exact cross-lane fold: 12-bit split keeps every f32 operand and
+    # every 128-term sum below 2^24 (exactly representable)
+    a = acc[...]
+    h12 = a >> _I(12)
+    l12 = a - (h12 << _I(12))
+    ones = jnp.ones((LANES, LANES), jnp.float32)
+    fold = lambda x: jax.lax.dot_general(  # noqa: E731
+        x.astype(jnp.float32), ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(_I)
+    sl = fold(l12)           # (l_pad, 128), every lane the total
+    sh_ = fold(h12)
+    # recombine sh*2^12 + sl without int32 overflow: push sh's high part
+    # one limb up
+    hh = sh_ >> _I(8)
+    hl = sh_ - (hh << _I(8))
+    dacc[...] = jnp.zeros_like(dacc)
+    dacc[pl.ds(0, l_pad), :] = sl + (hl << _I(12))
+    dacc[pl.ds(1, l_pad), :] += hh
+    spec0 = jnp.zeros((3, LANES), _I)
+    hi32, lo32 = round_lanes_acc(dacc, spec0, l_pad + 1,
+                                 0, e_adjust=eadj_ref[0:1, :])
+    out_ref[0:1, :] = hi32
+    out_ref[1:2, :] = lo32
+    out_ref[2:8, :] = jnp.zeros((6, LANES), jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits_pos", "l_rel"))
+def round_scaled_terms(vals, bits_pos: tuple, e_adjust, l_rel: int):
+    """Correctly round ``sum_t vals[t] * 2^(bits_pos[t] + e_adjust)``.
+
+    vals: (T,) int64, T <= 128, |vals| < 2^52; bits_pos: static python
+    tuple of T non-negative ints; e_adjust: traced int32 scalar (the
+    exponent of relative bit 0); l_rel: static limb count covering
+    max(bits_pos) + 53 bits.  Returns (hi32, lo32) uint32 scalars.
+    One Pallas launch replaces the XLA limb build + canonicalize +
+    round tail of the MXU sum/dot epilogues.
+    """
+    T = vals.shape[0]
+    assert T == len(bits_pos) and T <= LANES
+    l_pad = l_rel + 3
+    vl = (vals & jnp.int64(0xFFFF)).astype(_I)
+    vm = ((vals >> jnp.int64(16)) & jnp.int64(0xFFFF)).astype(_I)
+    vh = (vals >> jnp.int64(32)).astype(_I)         # signed, |vh| < 2^20
+    pad = LANES - T
+    vl, vm, vh = (jnp.pad(v, (0, pad)).reshape(1, LANES)
+                  for v in (vl, vm, vh))
+    bofs = jnp.asarray(list(bits_pos) + [0] * pad, _I).reshape(1, LANES)
+    eadj = jnp.broadcast_to(jnp.asarray(e_adjust, _I).reshape(1, 1),
+                            (1, LANES))
+
+    _z = np.int32(0)   # index maps must return i32 under x64
+    out = pl.pallas_call(
+        functools.partial(_round_terms_kernel, l_pad=l_pad),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((1, LANES), lambda i: (_z, _z),
+                               memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec((8, LANES), lambda i: (_z, _z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((l_pad, LANES), jnp.int32),
+            pltpu.VMEM((l_pad + 1, LANES), jnp.int32),
+        ],
+    )(vl, vm, vh, bofs, eadj)
+    return out[0, 0], out[1, 0]

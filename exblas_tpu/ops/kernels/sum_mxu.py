@@ -49,8 +49,7 @@ import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.rounding import canonicalize_digits, round_digits_to_f64_bits
-from ...core.types import LIMB_BITS, AccFormat
+from ...core.types import LIMB_BITS
 from .gemv_mxu import LANES, _slice_byte_words
 
 _I = jnp.int32
@@ -211,12 +210,13 @@ def _sum_flat_kernel(hi_ref, lo_ref, e_ref, sel_ref,
         bad.astype(_I).reshape(b8, 8, LANES), axis=0)
 
 
-def _sum_rel_limbs(hi2, lo2, e_anchor, nwa: int):
-    """Shared kernel + epilogue: exact relative limbs of the sum.
+def _sum_epilogue_terms(hi2, lo2, e_anchor, nwa: int):
+    """Shared kernel + epilogue: the sum as a static-position term sum.
 
-    Returns (limbs int64 (n_limbs,), bad): rel bit p has exponent
-    p + e_anchor + 1 - 32*nwa.  ``bad`` True when any element was not
-    covered by the anchor window (or was NaN/Inf).
+    Returns (vals int64 (T,), bits_pos tuple, bad): the exact sum is
+    sum_t vals[t] * 2^(bits_pos[t]) in the relative frame whose bit p
+    has exponent p + e_anchor + 1 - 32*nwa.  ``bad`` True when any
+    element was not covered by the anchor window (or was NaN/Inf).
     """
     r_pad, lanes = hi2.shape
     assert lanes == LANES and r_pad % BLOCK_ROWS == 0
@@ -267,18 +267,31 @@ def _sum_rel_limbs(hi2, lo2, e_anchor, nwa: int):
 
     # value * 2^(w_a - 1 - E) = sum_planes (tp + comp) 2^(32w+8p)
     #                           - 2^w_a * negtot
+    # (macc has 8 rows per word from the tile-aligned matmul; only rows
+    # 0..3 are real byte planes -- the sel matrix zeroes rows 4..7)
+    planes = tp.reshape(nwa, 8)[:, :4].reshape(4 * nwa)
+    vals = jnp.concatenate([planes + comp, -negtot[None]])
+    bits_pos = tuple(32 * w + 8 * p for w in range(nwa)
+                     for p in range(4)) + (w_a,)
+    return vals, bits_pos, jnp.max(flag) > 0   # flag is per (phase, lane)
+
+
+def _sum_rel_limbs(hi2, lo2, e_anchor, nwa: int):
+    """Exact relative limbs of the sum (int64 (n_limbs,), bad): rel bit p
+    has exponent p + e_anchor + 1 - 32*nwa.  Used by the Superacc
+    (absolute wire format) path; the bits path rounds the terms directly
+    in one Pallas launch (round_scaled_terms)."""
+    vals, bits_pos, bad = _sum_epilogue_terms(hi2, lo2, e_anchor, nwa)
+    w_a = 32 * nwa
     n_limbs = (w_a + 64) // LIMB_BITS + 2
     limbs = jnp.zeros((n_limbs,), _I64)
-    for w in range(nwa):
-        for p in range(4):
-            v = tp[8 * w + p] + comp          # 0 <= v < 2^40
-            q, r = divmod(32 * w + 8 * p, LIMB_BITS)
-            # v * 2^r split at bit 40: low chunk at limb q, high at q+2
-            limbs = limbs.at[q].add((v << _I64(r)) & _I64((1 << 40) - 1))
-            limbs = limbs.at[q + 2].add(v >> _I64(40 - r))
-    q, r = divmod(w_a, LIMB_BITS)
-    limbs = limbs.at[q].add(-(negtot << _I64(r)))  # negtot < 2^31: one limb
-    return limbs, jnp.max(flag) > 0    # flag is per (phase, lane)
+    for t, bit in enumerate(bits_pos):
+        v = vals[t]                           # |v| < 2^40
+        q, r = divmod(bit, LIMB_BITS)
+        # v * 2^r split at bit 40: low chunk at limb q, high at q+2
+        limbs = limbs.at[q].add((v << _I64(r)) & _I64((1 << 40) - 1))
+        limbs = limbs.at[q + 2].add(v >> _I64(40 - r))
+    return limbs, bad
 
 
 @functools.partial(jax.jit, static_argnames=("nwa",))
@@ -291,15 +304,18 @@ def sum_bits_mxu(hi2, lo2, e_anchor, nwa: int = 3):
     (or was NaN/Inf) -- the bits must then be discarded by the caller.
     Exactness: every covered element is represented exactly in the
     anchored fixed-point window, plane sums are exact int32, and the
-    epilogue is exact int64 -> one correct rounding.
+    epilogue is exact int64 -> one correct rounding (round_scaled_terms:
+    the limb build + canonicalize + round tail runs in ONE Pallas launch
+    instead of ~100 tiny XLA ops).
     """
-    limbs, bad = _sum_rel_limbs(hi2, lo2, e_anchor, nwa)
-    digits, negative = canonicalize_digits(limbs[None, :])
-    fmt = AccFormat(n_limbs=limbs.shape[0], offset_bits=0)
-    bits = round_digits_to_f64_bits(
-        digits, negative, fmt,
-        e_adjust=(e_anchor + _I(1) - _I(32 * nwa)).reshape(1))
-    return bits[0], bad
+    from .round_in_kernel import round_scaled_terms
+
+    vals, bits_pos, bad = _sum_epilogue_terms(hi2, lo2, e_anchor, nwa)
+    n_limbs = (32 * nwa + 64) // LIMB_BITS + 2
+    hi, lo = round_scaled_terms(vals, bits_pos,
+                                e_anchor + _I(1) - _I(32 * nwa), n_limbs)
+    bits = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    return bits, bad
 
 
 @functools.partial(jax.jit, static_argnames=("nwa",))

@@ -49,8 +49,8 @@ except Exception:  # pragma: no cover
 
 DISTRIBUTIONS = (
     "naive", "fpuniform_std", "fpuniform_large", "fpuniform_full",
-    "lognormal", "illcond", "subnormal_heavy", "special_laced",
-    "zeros_heavy", "cancellation",
+    "fpuniform_wide", "lognormal", "illcond", "subnormal_heavy",
+    "special_laced", "zeros_heavy", "cancellation",
 )
 
 
@@ -67,6 +67,12 @@ def gen_vector(dist: str, n: int, rng: np.random.RandomState) -> np.ndarray:
         return x * np.where(rng.rand(n) < 0.5, -1.0, 1.0)
     if dist == "fpuniform_full":
         x = xb.init_fpuniform(n, 600, -320, seed=seed)
+        return x * np.where(rng.rand(n) < 0.5, -1.0, 1.0)
+    if dist == "fpuniform_wide":
+        # ~350-400-bit spread: routes the round-4 top MXU rungs of the
+        # GEMM/GEMV ladders (320-512 anchored bits) instead of the VPU
+        # fallback that fpuniform_full (~650 bits) still takes
+        x = xb.init_fpuniform(n, 330, -165, seed=seed)
         return x * np.where(rng.rand(n) < 0.5, -1.0, 1.0)
     if dist == "lognormal":
         return xb.init_lognormal(n, 1.0, rng.uniform(0.5, 3.0), seed=seed)
@@ -306,7 +312,8 @@ def run_case(idx: int, campaign_seed: int, impl: str, max_n: int = 5000,
         # follow Inf chains)
         safe = {"special_laced": "fpuniform_std",
                 "subnormal_heavy": "fpuniform_std",
-                "fpuniform_full": "fpuniform_large"}
+                "fpuniform_full": "fpuniform_large",
+                "fpuniform_wide": "fpuniform_large"}
         tdist = safe.get(dist, dist)
         nt = int(rng.randint(1, 97))
         uplo = ["L", "U"][int(rng.randint(2))]

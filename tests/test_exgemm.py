@@ -155,3 +155,20 @@ def test_exgemm_mxu_asymmetric_rungs_interpret():
         with pltpu.force_tpu_interpret_mode():
             got = xb.exgemm("N", "N", 1.0, aa, bb, beta=0.0, impl="mxu")
         assert (got.view(np.uint64) == want.view(np.uint64)).all(), label
+
+
+def test_exgemm_mxu_wide_rung_interpret():
+    """The round-4 top rungs (40..64 slices = 320..512 anchored bits per
+    side) must stay bit-identical to XLA.  Spread ~300 bits routes to
+    (40, 40); the (64, 64) rung is exercised on hardware
+    (test_tpu_kernels.py) -- interpret-mode at 65*65 slice pairs is too
+    slow for the CPU suite."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = k = n = 32
+    a = xb.init_fpuniform_matrix(m, k, 250, 0, seed=73)   # spread ~302
+    b = xb.init_fpuniform_matrix(k, n, 250, -125, seed=74)
+    want = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="mxu")
+    assert (got.view(np.uint64) == want.view(np.uint64)).all()

@@ -287,9 +287,29 @@ def test_wide_range_rungs_extended():
     a3 = xb.init_fpuniform_matrix(64, 128, 197, -98, seed=65)
     x3 = xb.init_fpuniform(128, 60, -30, seed=66)
     _check(a3, x3, label="rung (8,6)")
-    # past the widest rung -> VPU fallback
-    a4 = xb.init_fpuniform_matrix(64, 128, 230, -115, seed=67)
-    _check(a4, x3, label="spread>256 fallback")
+
+
+def test_wide_range_rungs_round4():
+    """Round-4 top rungs (12,7)/(16,7): A spreads to 384/512 bits stay on
+    the MXU; past 512 bits on A (or 224 on z) the exact VPU fallback
+    holds."""
+    import exblas_tpu as xb
+
+    x3 = xb.init_fpuniform(128, 60, -30, seed=66)
+    # ~330-bit A spread -> (12,7)
+    a4 = xb.init_fpuniform_matrix(64, 128, 275, -137, seed=67)
+    _check(a4, x3, label="rung (12,7)")
+    # ~490-bit A spread -> (16,7)
+    a5 = xb.init_fpuniform_matrix(64, 128, 440, -220, seed=68)
+    _check(a5, x3, label="rung (16,7)")
+    y = xb.init_fpuniform(64, 10, -5, seed=69)
+    _check(a5, x3, alpha=-0.5, beta=3.0, y=y, label="rung (16,7) beta")
+    # past the widest rung -> VPU fallback (A spread > 512)
+    a6 = xb.init_fpuniform_matrix(64, 128, 480, -240, seed=70)
+    _check(a6, x3, label="spread>512 fallback")
+    # z spread past 224 bits -> VPU fallback via the z side
+    x4 = xb.init_fpuniform(128, 200, -100, seed=71)
+    _check(a4, x4, label="z-spread>224 fallback")
 
 
 def test_gemv_cacc_split_negatives():
