@@ -67,11 +67,11 @@ def main():
         return make
 
     def kernel_only(ha, la, hb, lb):
-        d, bad = _run_dot_kernel(ha, la, hb, lb, ea, eb, 3, 3)
+        d, bad = _run_dot_kernel(ha, la, hb, lb, ea, eb)
         return d[0, 0].astype(jnp.uint64) ^ bad.astype(jnp.uint64)
 
     def tier_only(ha, la, hb, lb):
-        bits, bad = dot_bits_mxu(ha, la, hb, lb, ea, eb, nwa=3, nwb=3)
+        bits, bad = dot_bits_mxu(ha, la, hb, lb, ea, eb)
         return bits ^ bad.astype(jnp.uint64)
 
     def sample_only(ha, la, hb, lb):

@@ -42,78 +42,64 @@ _DOT_MXU_MIN = 1 << 20
 
 
 def _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu):
-    """Shared tier routing for the MXU dot paths (bits and Superacc).
+    """Branch-free hot-path routing for the MXU dot paths (bits and
+    Superacc).
+
+    The pre-round-4 ladder picked a static (nwa, nwb) tier via lax.switch
+    around per-tier kernels -- but the (n,) -> (R8, WIDE) relayout only
+    fuses into the (arbitrary-layout) Pallas operand when the call is
+    UNconditional; a conditional forces canonical layouts on the buffers
+    crossing it, materializing the relayout (~0.77 ms of pure "routing"
+    at n=2^24 while the kernel ran 0.52 ms).  In-kernel tier gating was
+    measured next and discarded too: any dynamic conditional around the
+    kernel's matmul serializes the Mosaic pipeline (~+0.9 ms).  What
+    survives: ONE static full-window kernel runs UNCONDITIONALLY, and
+    the only lax.cond left guards the COLD path (in-kernel coverage
+    miss -> exact-anchor retry -> VPU), which captures nothing but the
+    flat jit parameters (zero-copy while untaken).
 
     * ROUTE: ~1/8 samples of BOTH hi streams give per-vector anchor
-      estimates and sampled spreads.  Sampled spreads only UNDERestimate,
-      so a spread past the widest window soundly proves no window covers
-      that vector: straight to the VPU kernel, no wasted MXU pass.
-      A sampled spread in a guard band just below a tier boundary is
-      resolved with one exact full_anchor pass (sum_mxu.resolve_anchor):
-      routing on the underestimate would fail the in-kernel check and pay
-      a full retry pass EVERY call (observed: ill-cond n=2^24 sampled 126
-      vs true 134 bits ran at 109 GB/s, below the 164 GB/s VPU fallback;
-      resolved routing runs 174 GB/s).
-    * Windows are picked PER VECTOR (the kernel's matmul work is
-      nwa * nwb plane pairs): an ill-conditioned dot against a narrow
-      vector runs (5, 3) = 15 pairs, not the symmetric (5, 5) = 25 --
-      asymmetric spreads are the common case for ill-conditioned data
-      (one generated wide vector x one data vector).
-    * FAST: cross-plane MXU kernel at the sampled anchors with in-kernel
-      per-element coverage checks (dot_mxu.py); a flagged element costs
-      an exact-anchor (5,5) retry, then the exact VPU kernel.
-    * A side on the widest (160-bit) tier runs with its anchor slack
-      undone (the +8 bump would shrink the usable window to 152 bits,
-      making near-full-window data -- ill-conditioned dots -- fail the
-      sampled pass every time); its routing threshold is 168 = 160 +
-      slack since the sampled spread carries the bump.  The in-kernel
-      check still backstops a sampling miss of the true maximum.
+      estimates (sample_anchor's +8-bit slack absorbs most sampling
+      misses) and sampled spreads -- used only to prove over-window data
+      early (the kernel itself has no tiers to route).
+    * An element outside its 160-bit anchor window (or NaN/Inf, or a
+      true max more than 8 binades above the sampled one) flags
+      in-kernel; the cold path retries at exact anchors, then falls back
+      to the exact VPU kernel.  Over-window data (spread > 160 bits:
+      none of the benchmark distributions) pays one cheap flagged MXU
+      pass before the VPU kernel.
     """
     from .kernels.dot_mxu import dot_pad_rows, WIDE
-    from .kernels.sum_mxu import (_ANCHOR_SLACK, exact_anchor,
-                                  resolve_anchor, sample_anchor)
+    from .kernels.sum_mxu import _ANCHOR_SLACK, exact_anchor, sample_anchor
 
     n = hi_a.shape[0]
     r8 = dot_pad_rows(n)
     pad = r8 * WIDE - n
-    bnds = (96, 128, 160 + _ANCHOR_SLACK)
-    ea_est, spread_a = resolve_anchor(hi_a, *sample_anchor(hi_a), bnds)
-    eb_est, spread_b = resolve_anchor(hi_b, *sample_anchor(hi_b), bnds)
+    ea_est, spread_a = sample_anchor(hi_a)
+    eb_est, spread_b = sample_anchor(hi_b)
+    # sampled spreads carry the anchor slack and only UNDERestimate, so
+    # est > 160 + slack soundly proves true spread > 160: no window fits.
+    over = jnp.logical_or(spread_a > 160 + _ANCHOR_SLACK,
+                          spread_b > 160 + _ANCHOR_SLACK)
 
-    def tier(nwa, nwb):
-        dsa = _ANCHOR_SLACK if nwa == 5 else 0
-        dsb = _ANCHOR_SLACK if nwb == 5 else 0
+    a2 = tuple(jnp.pad(x, (0, pad)).reshape(r8, WIDE)
+               for x in (hi_a, lo_a, hi_b, lo_b))
+    out, bad = fast(*a2, ea_est, eb_est)
 
-        def f(_):
-            # pad+reshape INSIDE the branch (captured from outside the
-            # cond it materializes copies; here it fuses into the kernel)
-            a = tuple(
-                jnp.pad(x, (0, pad)).reshape(r8, WIDE)
-                for x in (hi_a, lo_a, hi_b, lo_b))
-            out, bad = fast(*a, ea_est - dsa, eb_est - dsb, nwa, nwb)
+    def cold(_):
+        # captures only the FLAT jit parameters (zero-copy while
+        # untaken); redoes its own pad+reshape.
+        def retry(_):
+            b2 = tuple(jnp.pad(x, (0, pad)).reshape(r8, WIDE)
+                       for x in (hi_a, lo_a, hi_b, lo_b))
+            out2, bad2 = fast(*b2, exact_anchor(hi_a),
+                              exact_anchor(hi_b))
+            return jax.lax.cond(bad2, vpu, lambda _: out2, operand=None)
 
-            def slow(_):
-                out2, bad2 = fast(*a, exact_anchor(hi_a),
-                                  exact_anchor(hi_b), 5, 5)
-                return jax.lax.cond(bad2, vpu, lambda _: out2,
-                                    operand=None)
+        return jax.lax.cond(over, vpu, retry, operand=None)
 
-            return jax.lax.cond(bad, slow, lambda _: out, operand=None)
-        return f
-
-    def side_tier(spread):
-        return jnp.where(
-            spread <= 96, jnp.int32(0),
-            jnp.where(spread <= 128, jnp.int32(1),
-                      jnp.where(spread <= 160 + _ANCHOR_SLACK,
-                                jnp.int32(2), jnp.int32(3))))
-
-    ta, tb = side_tier(spread_a), side_tier(spread_b)
-    nws = (3, 4, 5)
-    branches = [tier(na, nb) for na in nws for nb in nws] + [vpu]
-    idx = jnp.where(jnp.logical_or(ta >= 3, tb >= 3),
-                    jnp.int32(9), ta * 3 + tb)
-    return jax.lax.switch(idx, branches, None)
+    return jax.lax.cond(jnp.logical_or(bad, over), cold,
+                        lambda _: out, operand=None)
 
 
 @jax.jit
@@ -121,13 +107,10 @@ def _exdot_bits_mxu_auto(hi_a, lo_a, hi_b, lo_b):
     from .kernels.dot_kernel import exdot_bits_pallas
     from .kernels.dot_mxu import dot_bits_mxu
 
-    def fast(ha, la, hb, lb, ea, eb, nwa, nwb):
-        return dot_bits_mxu(ha, la, hb, lb, ea, eb, nwa=nwa, nwb=nwb)
-
     def vpu(_):
         return exdot_bits_pallas(hi_a, lo_a, hi_b, lo_b)
 
-    return _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu)
+    return _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, dot_bits_mxu, vpu)
 
 
 @jax.jit
@@ -143,9 +126,8 @@ def _exdot_acc_mxu_auto(hi_a, lo_a, hi_b, lo_b) -> Superacc:
                         special=jnp.zeros((3,), jnp.int32),
                         fmt=DOT_FORMAT)
 
-    def fast(ha, la, hb, lb, ea, eb, nwa, nwb):
-        limbs, bad = dot_acc_limbs_mxu(ha, la, hb, lb, ea, eb,
-                                       nwa=nwa, nwb=nwb)
+    def fast(ha, la, hb, lb, ea, eb):
+        limbs, bad = dot_acc_limbs_mxu(ha, la, hb, lb, ea, eb)
         return as_acc(limbs), bad
 
     def vpu(_):

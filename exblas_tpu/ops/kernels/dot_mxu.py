@@ -50,8 +50,6 @@ scheme has no reference analog (same design family as sum_mxu/gemv_mxu).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as _np
@@ -81,15 +79,42 @@ def dot_pad_rows(n: int) -> int:
     return -(-r // 8) * 8
 
 
-def _stack_planes(hi, lo, e_blk, nw: int):
-    """(8, WIDE) bit-pair block -> ((32*nw+16, WIDE) int8 stack, bad).
+# ---------------------------------------------------------------------------
+# Full-window kernel (round 4)
+#
+# The pre-round-4 ladder picked a STATIC (nwa, nwb) word-count tier via
+# lax.switch around per-tier kernels.  On TPU the (n,) -> (R8, WIDE)
+# reshape is a relayout: XLA fuses it into the (arbitrary-layout) Pallas
+# operand when the call is unconditional, but a conditional forces
+# canonical layouts on the buffers crossing it, MATERIALIZING the
+# relayout (~0.77 ms of pure "routing" for the four 67 MB streams at
+# n=2^24 while the kernel itself ran 0.52 ms).  In-kernel tier gating
+# (pl.when around word slices / matmul sizes, tiers as data) was built
+# and measured next: ANY dynamic conditional around the main matmul
+# serializes the Mosaic pipeline (~+0.9 ms -- the conditional compute
+# cannot overlap the input DMAs).  What survives measurement is the
+# simplest design: ONE static kernel that always computes the FULL
+# 160-bit window (5 words + negm + ones per side), no conditionals
+# anywhere on the hot path.  The uniform cost beats the tiered ladder on
+# every benchmark distribution (the tier savings never paid for the
+# routing): ~240 GB/s flat vs 137-215 tiered at n=2^24, and
+# ill-conditioned data pays exactly what narrow data pays -- the
+# reference's own "exact costs the same whatever the data" property
+# (ExDOT kernels run one code path for any input, ExDOT.FPE.cl:226-270).
+# ---------------------------------------------------------------------------
 
-    Rows [0, 32nw): byte planes (row 32w + 4r + b = byte b of word w of
+RU5 = 176                     # stack height: 5 words + negm + ones rows
+
+
+def _stack_planes(hi, lo, e_blk):
+    """(8, WIDE) bit-pair block -> ((RU5, WIDE) int8 value stack, bad).
+
+    Rows [0, 160): byte planes (row 32w + 4r + b = byte b of word w of
     data row r, values byte-128 via the excess-128 XOR + bitcast).
-    Rows [32nw, 32nw+8): 0/1 negative masks (row r).
-    Row 32nw+8: ones; rows above: zero.
+    Rows [160, 168): 0/1 negative masks (row 160 + r).
+    Row 168: ones; rows above: zero.
     """
-    tc, negm, bad = _slice_byte_words(hi, lo, e_blk, nw, check=True)
+    tc, negm, bad = _slice_byte_words(hi, lo, e_blk, 5, check=True)
     planes = [pltpu.bitcast(t, jnp.int8) for t in tc]
     ones = (jax.lax.broadcasted_iota(_I, (8, WIDE), 0) == _I(0)) \
         .astype(jnp.int8)
@@ -97,7 +122,7 @@ def _stack_planes(hi, lo, e_blk, nw: int):
 
 
 def _dot_flat_kernel(hi_a_ref, lo_a_ref, hi_b_ref, lo_b_ref, e_ref,
-                     dhi_out, dlo_out, flag_out, d_acc, *, nwa, nwb):
+                     dhi_out, dlo_out, flag_out, d_acc):
     """Grid-accumulating kernel: all outputs map to the same blocks every
     step (VMEM-resident for the whole grid, final after the last step)."""
     i = pl.program_id(0)
@@ -110,10 +135,8 @@ def _dot_flat_kernel(hi_a_ref, lo_a_ref, hi_b_ref, lo_b_ref, e_ref,
         flag_out[...] = jnp.zeros_like(flag_out)
         d_acc[...] = jnp.zeros_like(d_acc)
 
-    ua, bad_a = _stack_planes(hi_a_ref[...], lo_a_ref[...],
-                              e_ref[0:8, :], nwa)
-    ub, bad_b = _stack_planes(hi_b_ref[...], lo_b_ref[...],
-                              e_ref[8:16, :], nwb)
+    ua, bad_a = _stack_planes(hi_a_ref[...], lo_a_ref[...], e_ref[0:8, :])
+    ub, bad_b = _stack_planes(hi_b_ref[...], lo_b_ref[...], e_ref[8:16, :])
     # ONE matmul: every plane/sign/ones cross sum, contraction over the
     # 8192 elements-in-lanes axis, exact int32 accumulation.
     d_acc[...] += jax.lax.dot_general(
@@ -132,15 +155,14 @@ def _dot_flat_kernel(hi_a_ref, lo_a_ref, hi_b_ref, lo_b_ref, e_ref,
         d_acc[...] = jnp.zeros_like(d_acc)
 
 
-def _run_dot_kernel(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
+def _run_dot_kernel(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb):
     """Launch the kernel over the (R8, WIDE) layout.
 
-    Returns (d int64 (RU, RV), bad bool) where d[i, j] = sum over all
+    Returns (d int64 (RU5, RU5), bad bool) where d[i, j] = sum over all
     element slots of U-row-i times V-row-j (see _stack_planes layout).
     """
     r8, w = hi_a2.shape
     assert w == WIDE and r8 % 8 == 0
-    ru, rv = 32 * nwa + 16, 32 * nwb + 16
     # anchor block: rows 0..7 broadcast EA, rows 8..15 EB (Mosaic cannot
     # broadcast a (1, 1) vector in both axes at once; one 512 KB VMEM
     # block loaded once beats a per-element select)
@@ -150,7 +172,7 @@ def _run_dot_kernel(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
     ])
 
     dhi, dlo, flag = pl.pallas_call(
-        functools.partial(_dot_flat_kernel, nwa=nwa, nwb=nwb),
+        _dot_flat_kernel,
         grid=(r8 // 8,),
         in_specs=[
             pl.BlockSpec((8, WIDE), lambda i: (i, _Z),
@@ -165,32 +187,32 @@ def _run_dot_kernel(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((ru, rv), lambda i: (_Z, _Z),
+            pl.BlockSpec((RU5, RU5), lambda i: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ru, rv), lambda i: (_Z, _Z),
+            pl.BlockSpec((RU5, RU5), lambda i: (_Z, _Z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, WIDE), lambda i: (_Z, _Z),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((ru, rv), jnp.int32),
-            jax.ShapeDtypeStruct((ru, rv), jnp.int32),
+            jax.ShapeDtypeStruct((RU5, RU5), jnp.int32),
+            jax.ShapeDtypeStruct((RU5, RU5), jnp.int32),
             jax.ShapeDtypeStruct((8, WIDE), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((ru, rv), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((RU5, RU5), jnp.int32)],
     )(hi_a2, lo_a2, hi_b2, lo_b2, e2)
 
     d = dhi.astype(_I64) * _I64(1 << 16) + dlo.astype(_I64)
     return d, jnp.max(flag) > 0
 
 
-def _dot_epilogue_terms(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
-                        nwa: int, nwb: int):
-    """Kernel + extraction: the dot value as a static-position term sum.
+def _dot_epilogue_terms(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb):
+    """Kernel + extraction: the dot value as a static-position term
+    sum in the full 160-bit-window frame (nwa = nwb = 5 positions).
 
     Returns (vals int64 (T,), bits_pos tuple, bad, l_rel):
     sum = sum_t vals[t] * 2^(bits_pos[t]) in the relative frame whose bit
-    p has exponent p + ea + eb + 2 - 32*(nwa + nwb).
+    p has exponent p + ea + eb + 2 - 320.
 
     Epilogue of the excess-128 identity, summed over every slot e
     (zero-padded slots contribute exactly 0 -- their bytes are all -128,
@@ -207,7 +229,8 @@ def _dot_epilogue_terms(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
     counts and Dnn = sum_e n_a n_b -- every one an r-matched static slice
     of the kernel's D matrix.  N is the static total slot count.
     """
-    d, bad = _run_dot_kernel(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa, nwb)
+    d, bad = _run_dot_kernel(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb)
+    nwa = nwb = 5
     w_a, w_b = 32 * nwa, 32 * nwb
     na, nb = 4 * nwa, 4 * nwb
     neg_a0, one_a = 32 * nwa, 32 * nwa + 8
@@ -258,9 +281,9 @@ def _dot_epilogue_terms(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
     return vals, tuple(bits_pos), bad, l_rel
 
 
-def _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
+def _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb):
     """Exact relative limbs of the dot product: rel bit p has exponent
-    p + ea + eb + 2 - 32*(nwa + nwb).  Returns (limbs int64 (L,), bad).
+    p + ea + eb + 2 - 320.  Returns (limbs int64 (L,), bad).
 
     One vectorized limb build: every term's (bit, value) with bit static;
     value split at 32 bits so each chunk shifted by < 20 stays far below
@@ -269,7 +292,7 @@ def _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
     directly in one Pallas launch (round_scaled_terms).
     """
     vals, bits_pos, bad, l_rel = _dot_epilogue_terms(
-        hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa, nwb)
+        hi_a2, lo_a2, hi_b2, lo_b2, ea, eb)
     wl = _np.zeros((len(bits_pos), l_rel), _np.int64)
     wh = _np.zeros((len(bits_pos), l_rel), _np.int64)
     for t, bit in enumerate(bits_pos):
@@ -284,35 +307,34 @@ def _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa: int, nwb: int):
     return limbs, bad
 
 
-@functools.partial(jax.jit, static_argnames=("nwa", "nwb"))
-def dot_bits_mxu(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
-                 nwa: int = 3, nwb: int = 3):
+@jax.jit
+def dot_bits_mxu(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb):
     """Correctly rounded exact dot of two (R8, WIDE) bit-pair layouts.
 
     ea/eb: int32 scalar anchors (upper bounds on the msb exponents of the
-    covered elements of a / b).  Returns ``(bits, bad)``: uint64 result
-    bits and a bool that is True when ANY element was not covered by its
-    anchor window (or was NaN/Inf) -- the bits must then be discarded.
-    Exactness: covered elements are exact W-bit fixed-point integers,
-    every cross sum is exact int32/int64, the epilogue terms are exact
-    int64 -> one correct rounding (round_scaled_terms: the limb build +
-    canonicalize + round tail runs in ONE Pallas launch instead of ~150
-    tiny XLA ops -- the fixed overhead that held the n=2^23 ladder ~30%
-    below the kernel rate, DESIGN.md roadmap item 3).
+    covered elements of a / b).  One static full-window kernel, no
+    conditionals: the caller needs NO switch around this call (see the
+    design note above _stack_planes).  Returns ``(bits, bad)``: uint64
+    result bits and a bool that is True when ANY element was not covered
+    by its anchor window (or was NaN/Inf) -- the bits must then be
+    discarded.  Exactness: covered elements are exact 160-bit fixed-point
+    integers, every cross sum is exact int32/int64, the epilogue terms
+    are exact int64 -> one correct rounding in one Pallas launch
+    (round_scaled_terms: the XLA limb-build + canonicalize + round tail
+    was ~150 tiny ops of pure launch overhead).
     """
     vals, bits_pos, bad, l_rel = _dot_epilogue_terms(
-        hi_a2, lo_a2, hi_b2, lo_b2, ea, eb, nwa, nwb)
+        hi_a2, lo_a2, hi_b2, lo_b2, ea, eb)
     from .round_in_kernel import round_scaled_terms
 
-    e_adj = ea + eb + _I(2) - _I(32 * (nwa + nwb))
+    e_adj = ea + eb + _I(2) - _I(320)
     hi, lo = round_scaled_terms(vals, bits_pos, e_adj, l_rel)
     bits = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
     return bits, bad
 
 
-@functools.partial(jax.jit, static_argnames=("nwa", "nwb"))
-def dot_acc_limbs_mxu(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
-                      nwa: int = 3, nwb: int = 3):
+@jax.jit
+def dot_acc_limbs_mxu(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb):
     """Exact dot as ABSOLUTE DOT_FORMAT limbs (the distributed wire
     format): returns (limbs int64 (L_DOT,), bad).
 
@@ -323,8 +345,6 @@ def dot_acc_limbs_mxu(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
     from ...core.rounding import rel_limbs_to_abs_limbs
     from ...core.types import DOT_FORMAT
 
-    rel, bad = _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb,
-                              nwa, nwb)
-    p0 = (ea + eb + _I(2) - _I(32 * (nwa + nwb))
-          + _I(DOT_FORMAT.offset_bits))
+    rel, bad = _dot_rel_limbs(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb)
+    p0 = ea + eb + _I(2) - _I(320) + _I(DOT_FORMAT.offset_bits)
     return rel_limbs_to_abs_limbs(rel, p0, DOT_FORMAT), bad
