@@ -47,11 +47,12 @@ def main(n: int = 4096):
         return make
 
     # spread per side ~8*sa bits; ill-cond c=1e50 (~166 bits) lands on
-    # (24, 24).  The round-4 top rungs (40..64 slices = 320..512 bits)
-    # keep even extreme spreads ~10x above the ~6 GFLOP/s VPU fallback.
+    # (24, 24).  The round-4 top rungs (40/48 slices = 320/384 bits)
+    # keep even extreme spreads well above the ~6 GFLOP/s VPU fallback;
+    # (48, 48) is the VMEM ceiling (see gemm_mxu._pick_kt_bn).
     for sa, sb, rng_bits in ((16, 16, 70), (20, 20, 100), (24, 24, 135),
                              (28, 28, 165), (32, 32, 200), (40, 40, 260),
-                             (48, 48, 320), (64, 64, 450)):
+                             (48, 48, 310)):
         a = xb.init_fpuniform_matrix(n, n, rng_bits, -rng_bits // 2, seed=sa)
         b = xb.init_fpuniform_matrix(n, n, rng_bits, -rng_bits // 2,
                                      seed=sa + 1)

@@ -134,14 +134,17 @@ def _validate_fpe(fpe: int):
 # every plane pair is a distinct exact int8 matmul) -- so e.g.
 # ill-conditioned data at c=1e50 (spread ~137-166 bits) runs the
 # (20, 20) or (24, 24) rung at ~1/5 the covered-data rate instead of
-# falling ~500x to the VPU kernel.  The top rungs (40..64 slices = 320..
-# 512 bits) keep even extreme spreads ~10x above the VPU fallback
-# (~0.06 TFLOP-equiv/s at (64, 64) vs ~0.006 exact-VPU); only data whose
-# per-row/column spread exceeds 512 bits still leaves the MXU.
+# falling ~500x to the VPU kernel.  The top rungs (40/48 slices =
+# 320/384 bits) keep even extreme spreads well above the VPU fallback
+# (~0.1 TFLOP-equiv/s at (48, 48) vs ~0.006 exact-VPU); only data whose
+# per-row/column spread exceeds 384 bits still leaves the MXU.  (48, 48)
+# is the VMEM ceiling: the class scratch grows as (sa+sb+1) rows and a
+# (64, 64) rung no longer fits the ~14 MB budget at bn = 128 -- the
+# minimum lane width Pallas TPU can lower.
 _MXU_LADDER = ((8, 8), (8, 12), (12, 8), (8, 16), (16, 8),
                (12, 12), (12, 16), (16, 12), (16, 16),
                (16, 20), (20, 16), (20, 20), (24, 24), (28, 28), (32, 32),
-               (40, 40), (48, 48), (64, 64))
+               (40, 40), (48, 48))
 
 
 def _decode_indicators(hi, lo):

@@ -157,17 +157,23 @@ def make_digits(hi, lo, anchors, n_slices: int, axis: int):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
+def _round_rel_kernel_part(acc, e_base, l_rel, rel0):
     """Round the (l_rel*128, bn) relative accumulator -> (hi, lo) u32
     (128, bn).  acc rows [q*128, (q+1)*128) hold limb q of all 128 x bn
     elements.  e_base (128, bn) int32: absolute exponent of rel bit rel0.
+
+    Canonicalization happens IN PLACE (each limb row is read once and
+    overwritten with its canonical digit; the carry moves forward in the
+    loop state), which removes the separate digit scratch -- at the wide
+    rungs that scratch was ~40% of the kernel's VMEM and priced the
+    (48, 48) rung out of the 14 MB budget.
     """
     bn = acc.shape[1]
 
     def canon(j, carry):
         d = acc[pl.ds(j * LANES, LANES), :] + carry
         digit = d & _I(LIMB_MASK)
-        dig[pl.ds(j * LANES, LANES), :] = digit
+        acc[pl.ds(j * LANES, LANES), :] = digit
         return (d - digit) >> _I(LIMB_BITS)
 
     carry_out = jax.lax.fori_loop(
@@ -175,9 +181,9 @@ def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
     negative = carry_out < 0
 
     def negate(j, borrow):
-        d = dig[pl.ds(j * LANES, LANES), :]
+        d = acc[pl.ds(j * LANES, LANES), :]
         t = (d ^ _I(LIMB_MASK)) + borrow
-        dig[pl.ds(j * LANES, LANES), :] = jnp.where(negative,
+        acc[pl.ds(j * LANES, LANES), :] = jnp.where(negative,
                                                     t & _I(LIMB_MASK), d)
         return t >> _I(LIMB_BITS)
 
@@ -190,7 +196,7 @@ def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
                 .astype(_I) - _I(127))
 
     def find_p(j, p):
-        d = dig[pl.ds(j * LANES, LANES), :]
+        d = acc[pl.ds(j * LANES, LANES), :]
         cand = _I(LIMB_BITS) * j + msb20(d)
         return jnp.where(d != 0, jnp.maximum(p, cand), p)
 
@@ -203,7 +209,7 @@ def _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0):
 
     def window(j, st):
         w_hi, w_lo, sticky = st
-        d = _u(dig[pl.ds(j * LANES, LANES), :])
+        d = _u(acc[pl.ds(j * LANES, LANES), :])
         s = _I(LIMB_BITS) * j - pos_low
         in_lo = jnp.logical_and(s > -20, s < 32)
         in_hi = jnp.logical_and(s > 12, s < 55)
@@ -295,7 +301,7 @@ def _deposit_beta_c_rel(acc, c_hi, c_lo, bb_hi, bb_lo, e_base, rel0, l_rel):
 
 def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
                 bb_hi_ref, bb_lo_ref, yhi_out, ylo_out,
-                acc, dig, cls, *, sa, sb, l_rel, rel0, beta_mode, kt):
+                acc, cls, *, sa, sb, l_rel, rel0, beta_mode, kt):
     kt_i = pl.program_id(2)
     n_cls = sa + sb + 1
 
@@ -378,7 +384,7 @@ def _mxu_kernel(a_sl_ref, b_sl_ref, e_ref, f_ref, c_hi_ref, c_lo_ref,
     @pl.when(kt_i == pl.num_programs(2) - 1)
     def _():
         e_base = e_ref[:, 0:1] + f_ref[0:1, :] + _I(2)  # (128,1) + (1,bn)
-        hi32, lo32 = _round_rel_kernel_part(acc, dig, e_base, l_rel, rel0)
+        hi32, lo32 = _round_rel_kernel_part(acc, e_base, l_rel, rel0)
         yhi_out[...] = hi32
         ylo_out[...] = lo32
 
@@ -416,7 +422,8 @@ MXU_BETA_HEAD = 36
 
 
 def _vmem_estimate(sa: int, sb: int, l_rel: int, bn: int, kt: int) -> int:
-    scratch = (2 * l_rel + (sa + sb + 1)) * LANES * bn * 4
+    # acc (l_rel rows, canonicalized in place -- no digit scratch) + cls
+    scratch = (l_rel + (sa + sb + 1)) * LANES * bn * 4
     blocks = 2 * ((sa + 1) * LANES * kt + (sb + 1) * kt * bn
                   + 2 * LANES * bn * 4 + 2 * LANES * bn * 4)
     return scratch + blocks
@@ -427,18 +434,19 @@ def _pick_kt_bn(sa: int, sb: int, l_rel: int) -> tuple[int, int]:
     per-pair cls adds (~1 VPU add per C element per pair per tile --
     measured 49.9 -> 43.8 ms at n=4096 going 256 -> 1024, and a further
     48 -> 45.5 ms at kt=2048); the tile never exceeds the spill run (the
-    int32 class-sum bound, _spill_run); large rungs shrink the tile and
-    then the output-block width to stay within ~14 MB of the ~16 MB/core
-    VMEM (scratch + pipelined blocks).  bn=256 measured slightly slower
-    than 128 at (8,8), so the width never grows past 128."""
+    int32 class-sum bound, _spill_run); large rungs shrink the tile to
+    stay within ~14 MB of the ~16 MB/core VMEM (scratch + pipelined
+    blocks).  bn is pinned at 128: Pallas TPU requires the last block
+    dim be a multiple of 128 (bn=64 fails to lower -- caught on hardware
+    by the round-4 wide rungs), and bn=256 measured slightly slower at
+    (8,8)."""
     run = _spill_run(sa, sb)
-    for kt, bn in ((2048, 128), (1024, 128), (512, 128), (256, 128),
-                   (512, 64), (256, 64), (128, 64)):
+    for kt in (2048, 1024, 512, 256, 128):
         if kt > run:
             continue
-        if _vmem_estimate(sa, sb, l_rel, bn, kt) <= 14 * 2**20:
-            return kt, bn
-    return 128, 64
+        if _vmem_estimate(sa, sb, l_rel, 128, kt) <= 14 * 2**20:
+            return kt, 128
+    return 128, 128
 
 
 @functools.partial(jax.jit, static_argnames=("sa", "sb", "beta_mode"))
@@ -525,7 +533,6 @@ def gemm_bits_mxu(a_hi, a_lo, b_hi, b_lo, c_hi=None, c_lo=None,
             jax.ShapeDtypeStruct((m_pad, n_pad), jnp.uint32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((l_rel * LANES, bn), jnp.int32),
             pltpu.VMEM((l_rel * LANES, bn), jnp.int32),
             pltpu.VMEM(((sa + sb + 1) * LANES, bn), jnp.int32),
         ],

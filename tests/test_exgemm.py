@@ -158,10 +158,10 @@ def test_exgemm_mxu_asymmetric_rungs_interpret():
 
 
 def test_exgemm_mxu_wide_rung_interpret():
-    """The round-4 top rungs (40..64 slices = 320..512 anchored bits per
+    """The round-4 top rungs (40/48 slices = 320/384 anchored bits per
     side) must stay bit-identical to XLA.  Spread ~300 bits routes to
-    (40, 40); the (64, 64) rung is exercised on hardware
-    (test_tpu_kernels.py) -- interpret-mode at 65*65 slice pairs is too
+    (40, 40); the (48, 48) rung is exercised on hardware
+    (test_tpu_kernels.py) -- interpret-mode at 49*49 slice pairs is too
     slow for the CPU suite."""
     from jax.experimental.pallas import tpu as pltpu
 

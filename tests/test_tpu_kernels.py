@@ -154,19 +154,19 @@ def test_gemm_mxu_wide_spread_falls_back_same_bits():
 
 
 def test_gemm_mxu_top_rungs_on_chip():
-    """Round-4 top rungs: spread ~360 bits routes to (48, 48), ~500 bits
-    to (64, 64); both must be bit-identical to the exact VPU kernel, and
-    spread past 512 bits must still fall back with identical bits."""
+    """Round-4 top rungs: spread ~310 bits routes to (40, 40), ~360 bits
+    to (48, 48); both must be bit-identical to the exact VPU kernel, and
+    spread past 384 bits must still fall back with identical bits."""
     import exblas_tpu as xb
     m = k = n = 128
-    for rng_bits, seed in ((310, 57), (450, 58)):
+    for rng_bits, seed in ((255, 57), (305, 58)):
         a = xb.init_fpuniform_matrix(m, k, rng_bits, 0, seed=seed)
         b = xb.init_fpuniform_matrix(k, n, rng_bits, -rng_bits // 2,
                                      seed=seed + 10)
         mxu = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="mxu")
         vpu = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="pallas")
         assert (mxu.view(np.uint64) == vpu.view(np.uint64)).all(), rng_bits
-    a = xb.init_fpuniform_matrix(m, k, 700, 0, seed=59)   # > 512 bits
+    a = xb.init_fpuniform_matrix(m, k, 500, 0, seed=59)   # > 384 bits
     b = xb.init_fpuniform_matrix(k, n, 10, 0, seed=60)
     mxu = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="mxu")
     vpu = xb.exgemm("N", "N", 1.0, a, b, beta=0.0, impl="pallas")
