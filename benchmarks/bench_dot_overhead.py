@@ -1,23 +1,25 @@
-"""Decompose the ExDOT MXU auto ladder's fixed overhead.
+"""Decompose the ExDOT MXU path's fixed overhead, stage by stage.
 
 n defaults to 2^23; pass log2(n) as the sole argv parameter to change it
 (e.g. ``python benchmarks/bench_dot_overhead.py 24`` for n=2^24).
 
-The end-to-end ladder runs well below the raw kernel rate (DESIGN.md
-roadmap item 3).  This harness times each stage separately with the
-amortized-R protocol so the optimization work is profile-driven:
+This harness drove the round-4 redesign (it exposed the ~0.77 ms
+conditional-routing cost that led to the branch-free full-window path);
+it times each stage separately with the amortized-R protocol:
 
   * vpu        -- exdot_bits_pallas (the any-data fallback kernel)
   * kernel     -- _run_dot_kernel only (pre-padded inputs, fixed anchors:
                   the raw MXU matmul loop + spill, no routing/epilogue)
-  * tier       -- dot_bits_mxu (kernel + rel-limb epilogue + rounding,
-                  fixed anchors, no routing)
+  * tier       -- dot_bits_mxu (kernel + one-launch term rounding, fixed
+                  anchors, no sampling/cold-retry scaffolding)
   * sample     -- the two sample_anchor passes alone
-  * ladder     -- _exdot_bits_mxu_auto end to end (sample + switch +
-                  cond retry scaffolding + tier)
+  * ladder     -- _exdot_bits_mxu_auto end to end (sample + unconditional
+                  kernel + untaken cold-retry cond)
 
 GB/s uses 16 bytes/element (both streams).  Stage deltas attribute the
-overhead: ladder-tier = routing, tier-kernel = epilogue, sample = sampling.
+overhead: ladder-tier = routing residue (incl. the scan harness's
+materialized xor-perturbed stream captured by the cold cond),
+tier-kernel = epilogue, sample = sampling.
 """
 
 from __future__ import annotations
