@@ -62,29 +62,53 @@ def _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu):
       estimates (sample_anchor's +8-bit slack absorbs most sampling
       misses) and sampled spreads -- used only to prove over-window data
       early (the kernel itself has no tiers to route).
+    * The sampled anchors sit ``_ANCHOR_SLACK`` bits above the sampled
+      max, so the 160-bit window only covers ~152 bits of TRUE spread at
+      them.  ``resolve_anchor`` (the sum path's guard-band scheme)
+      replaces an ambiguous sampled spread -- one within 16 bits below
+      the 160 + slack boundary -- with the exact (anchor, spread) pair
+      from one 4-byte/element streaming pass, and a per-side scalar
+      select undoes the slack whenever the resolved spread shows the
+      slacked window cannot fit (> 160: only reachable post-resolution,
+      so the deslacked anchor is exact).  True spread in (152, 160]
+      then runs ONE covered pass, and true spread in (160, 168] routes
+      straight to the VPU with NO wasted MXU pass -- the round-4 ladder
+      paid a guaranteed flagged pass + per-call retry on the former and
+      two flagged passes on the latter.  Scalars only cross the conds:
+      the four data streams keep their fused relayout.
     * An element outside its 160-bit anchor window (or NaN/Inf, or a
       true max more than 8 binades above the sampled one) flags
-      in-kernel; the cold path retries at exact anchors, then falls back
-      to the exact VPU kernel.  Over-window data (spread > 160 bits:
-      none of the benchmark distributions) pays one cheap flagged MXU
-      pass before the VPU kernel.
+      in-kernel; the cold path retries at exact anchors -- unless the
+      hot pass already ran at exact (deslacked) anchors, in which case
+      a retry would flag identically and it goes straight to the exact
+      VPU kernel.
     """
     from .kernels.dot_mxu import dot_pad_rows, WIDE
-    from .kernels.sum_mxu import _ANCHOR_SLACK, exact_anchor, sample_anchor
+    from .kernels.sum_mxu import (_ANCHOR_SLACK, exact_anchor,
+                                  resolve_anchor, sample_anchor)
 
     n = hi_a.shape[0]
     r8 = dot_pad_rows(n)
     pad = r8 * WIDE - n
-    ea_est, spread_a = sample_anchor(hi_a)
-    eb_est, spread_b = sample_anchor(hi_b)
-    # sampled spreads carry the anchor slack and only UNDERestimate, so
-    # est > 160 + slack soundly proves true spread > 160: no window fits.
+    ea_r, spread_a = resolve_anchor(hi_a, *sample_anchor(hi_a),
+                                    (160 + _ANCHOR_SLACK,))
+    eb_r, spread_b = resolve_anchor(hi_b, *sample_anchor(hi_b),
+                                    (160 + _ANCHOR_SLACK,))
+    # spreads are measured against the slack-bumped anchor and only
+    # UNDERestimate when sampled, so > 160 + slack soundly proves true
+    # spread > 160: no window fits.  Resolved pairs make this exact.
     over = jnp.logical_or(spread_a > 160 + _ANCHOR_SLACK,
                           spread_b > 160 + _ANCHOR_SLACK)
+    # spread > 160 can only survive the guard-band resolution (a sampled
+    # value that high resolves exactly), so the deslacked anchor below is
+    # the exact max and the full 160-bit window becomes usable.
+    tight = jnp.logical_or(spread_a > 160, spread_b > 160)
+    ea_use = jnp.where(spread_a > 160, ea_r - _ANCHOR_SLACK, ea_r)
+    eb_use = jnp.where(spread_b > 160, eb_r - _ANCHOR_SLACK, eb_r)
 
     a2 = tuple(jnp.pad(x, (0, pad)).reshape(r8, WIDE)
                for x in (hi_a, lo_a, hi_b, lo_b))
-    out, bad = fast(*a2, ea_est, eb_est)
+    out, bad = fast(*a2, ea_use, eb_use)
 
     def cold(_):
         # captures only the FLAT jit parameters (zero-copy while
@@ -96,7 +120,11 @@ def _dot_mxu_ladder(hi_a, lo_a, hi_b, lo_b, fast, vpu):
                               exact_anchor(hi_b))
             return jax.lax.cond(bad2, vpu, lambda _: out2, operand=None)
 
-        return jax.lax.cond(over, vpu, retry, operand=None)
+        # over: no window fits.  tight: the hot pass already ran at the
+        # exact deslacked anchors, so a retry at them would flag again
+        # (the flag then means a below-lsb-bound subnormal) -- skip it.
+        return jax.lax.cond(jnp.logical_or(over, tight), vpu, retry,
+                            operand=None)
 
     return jax.lax.cond(jnp.logical_or(bad, over), cold,
                         lambda _: out, operand=None)

@@ -228,7 +228,18 @@ def _dot_epilogue_terms(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb):
     column of D), Dsn/Dns the sign-mask cross sums, NA/NB the negative
     counts and Dnn = sum_e n_a n_b -- every one an r-matched static slice
     of the kernel's D matrix.  N is the static total slot count.
+
+    Term magnitude bound (round_scaled_terms needs |vals| < 2^52 so its
+    16/16/20-bit splits deposit exactly): the binding term is tot[c] =
+    sum_{pa+pb=c} m[pa,pb] with m[pa,pb] = sum_e (s_pa+128)(s_pb+128)
+    = sum_e b_pa b_pb in [0, n_slots * 255^2]; at most na = 20 pairs per
+    anti-diagonal gives |tot| <= 20 * 255^2 * n_slots < n_slots * 2^20.4,
+    so n_slots <= 2^31 (asserted below; equals MAX_N_DOT_MXU -- a 16 GB
+    input, unreachable single-chip) keeps every term under 2^51.4.  The
+    sign/count terms are <= 255 * n_slots, far below.
     """
+    assert hi_a2.shape[0] * WIDE <= MAX_N_DOT_MXU, (
+        "dot epilogue term bound |vals| < 2^52 requires n_slots <= 2^31")
     d, bad = _run_dot_kernel(hi_a2, lo_a2, hi_b2, lo_b2, ea, eb)
     nwa = nwb = 5
     w_a, w_b = 32 * nwa, 32 * nwb

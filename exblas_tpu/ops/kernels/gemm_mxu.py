@@ -446,7 +446,13 @@ def _pick_kt_bn(sa: int, sb: int, l_rel: int) -> tuple[int, int]:
             continue
         if _vmem_estimate(sa, sb, l_rel, 128, kt) <= 14 * 2**20:
             return kt, 128
-    return 128, 128
+    # Unreachable for the shipped ladder ((48,48) fits at kt=128); a
+    # future wider rung must fail HERE, not at Mosaic lowering with an
+    # opaque VMEM exhaustion.
+    raise ValueError(
+        f"MXU GEMM rung ({sa},{sb}) exceeds the VMEM budget even at "
+        f"kt=128 ({_vmem_estimate(sa, sb, l_rel, 128, 128)} bytes); "
+        "route this spread to the VPU fallback")
 
 
 @functools.partial(jax.jit, static_argnames=("sa", "sb", "beta_mode"))

@@ -343,8 +343,7 @@ def make_excess_corr_limbs(zsum, nwa: int, nwz: int, l_rel: int):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False,
-                      sh_floor=None):
+def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False):
     """(128, KT) bit-pair block -> (tc, negm[, bad]) for the byte matmuls.
 
     tc: list of nwa uint32 words of the two's-complement anchored value,
@@ -356,11 +355,6 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False,
     (anchor too low/high, hidden tiny subnormal, or NaN/Inf) -- lets the
     caller use an estimated anchor and fall back on the flag instead of
     paying an exact analysis pass (the sum_mxu fast path).
-    sh_floor: optional traced int32 (broadcastable against the block):
-    additionally flag elements whose lsb shift falls below it -- the
-    gated dot kernel's ACTIVE-SUBWINDOW check (elements must keep their
-    bits in the top W - sh_floor bits so the skipped low words are
-    provably zero).
     """
     w_a = 32 * nwa
     his = jax.lax.bitcast_convert_type(a_hi, _I)
@@ -379,8 +373,7 @@ def _slice_byte_words(a_hi, a_lo, erow, nwa: int, check: bool = False,
         # -1074 bound, so genuinely tiny values flag themselves), or a
         # special.  Flagged results are discarded by the caller.
         nz = (mhi | mlo) != 0
-        floor = _I(0) if sh_floor is None else sh_floor
-        oob = jnp.logical_or(sh < floor, sh > _I(w_a - 53))
+        oob = jnp.logical_or(sh < _I(0), sh > _I(w_a - 53))
         bad = jnp.logical_or(jnp.logical_and(nz, oob), special)
     ws = None
     if nwa == 3:

@@ -428,6 +428,21 @@ def test_exdot_mxu_auto_matches_pallas():
     fa, fb = rng.uniform(-1, 1, n), rng.uniform(-1, 1, n)
     fa[54321] = 1e300       # in-kernel flag -> retry -> VPU
     cases["flag->vpu"] = (fa, fb)
+
+    def spread_vec(bits, seed):
+        # element msb exponents spanning ~bits-52 binades: true spread
+        # ~= bits (lsb bound from the exponent field)
+        r2 = np.random.default_rng(seed)
+        e = r2.integers(-(bits - 53), 1, n)
+        m = r2.uniform(1, 2, n) * np.where(r2.random(n) < 0.3, -1, 1)
+        return m * np.exp2(e)
+
+    # round-5 guard-band routing (exdot._dot_mxu_ladder): true spread in
+    # (152, 160] resolves the anchors exactly and runs ONE deslacked
+    # covered pass; (160, 168] resolves and routes straight to the VPU
+    cases["tight-deslack(156)"] = (spread_vec(156, 71), spread_vec(100, 72))
+    cases["tight-deslack(159)"] = (spread_vec(159, 73), spread_vec(120, 74))
+    cases["resolved->vpu(165)"] = (spread_vec(165, 75), spread_vec(80, 76))
     for name, (a, b) in cases.items():
         got = xb.exdot(a, b, impl="auto")
         want = xb.exdot(a, b, impl="pallas")
